@@ -1,0 +1,36 @@
+"""andix — TPU-native anchor-distance engine.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of EvolBioInf/andi:
+alignment-free estimation of evolutionary distances between closely related
+genomes via the anchor-distance method (Haubold, Klötzl & Pfaffelhuber 2015).
+
+Architecture (TPU-first, not a port):
+
+* Enhanced-suffix-array construction (reference: ``src/esa.c``) is recast as a
+  prefix-doubling rank-sort over a *generalized* suffix array of all subject
+  strings, built with ``jax.lax.sort`` on device (``andix.esa.doubling``).
+* The per-query-position longest-match search (``src/esa.c:441-656``,
+  ``get_match_cached``) becomes *matching statistics for every query position
+  at once*, computed with segmented min-scans over the joint SA/LCP arrays
+  (``andix.esa.matchstats``).  No pointer-chasing tree descent.
+* The path-dependent anchor-chaining scan (``src/process.c:141-214``,
+  ``dist_anchor``) is replayed over the precomputed match-statistic arrays by
+  a small native C++ host runtime (``andix.chain``), preserving reference
+  semantics exactly (lucky anchors, diagonal pairing, skip advance).
+* Distance estimators and the multinomial bootstrap (``src/model.c``) are
+  float64 host math with a seedable PRNG (``andix.model``) — fixing the
+  reference's irreproducible ``time(NULL)`` seeding (``src/andi.c:272-279``).
+* The N×N pair grid shards across a TPU mesh by subject blocks
+  (``andix.parallel``), the TPU-native equivalent of the OpenMP loops in
+  ``src/dist_hack.h``.
+"""
+
+__version__ = "0.1.0"
+
+import jax
+
+# Estimator math must be float64 to match the reference's C doubles
+# (SURVEY.md §7 "Numerics").  Integer sort keys in the doubling kernel use
+# multi-key int32 sorts, so x64 is not required on the hot path; enabling it
+# globally only affects tiny host-side reductions.
+jax.config.update("jax_enable_x64", True)

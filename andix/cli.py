@@ -1,0 +1,327 @@
+"""Command line interface, flag-for-flag compatible with andi.
+
+Mirrors ``src/andi.c``: same option set, validation, warnings, exit codes,
+defaults.  Extensions beyond the reference: ``--seed`` (reproducible
+bootstrap — the reference's TODO at src/andi.c:278), ``--backend`` and
+``--block-size`` (TPU scheduling knobs).
+"""
+
+from __future__ import annotations
+
+import getopt
+import math
+import sys
+
+import numpy as np
+
+from . import fasta, output, pipeline
+from .model import CountMatrix, model_average, model_bootstrap
+from .runtime import Context, Model, Progress
+from .sequence import Seq
+
+LENGTH_LIMIT = (2**31 - 2) // 2  # (INT_MAX - 1) / 2, src/andi.c:296
+
+USAGE = """Usage: andix [OPTIONS...] FILES...
+\tFILES... can be any sequence of FASTA files.
+\tUse '-' as file name to read from stdin.
+Options:
+  -b, --bootstrap=INT  Print additional bootstrap matrices
+      --file-of-filenames=FILE  Read additional filenames from FILE; one per line
+  -j, --join           Treat all sequences from one file as a single genome
+  -l, --low-memory     Use less memory at the cost of speed
+  -m, --model=MODEL    Pick an evolutionary model of 'Raw', 'JC', 'Kimura', 'LogDet', 'ANI'; default: JC
+  -p FLOAT             Significance of an anchor; default: 0.025
+      --progress=WHEN  Print a progress bar 'always', 'never', or 'auto'; default: auto
+  -t, --threads=INT    Set the number of threads; by default, all processors are used
+      --truncate-names Truncate names to ten characters
+      --seed=INT       Seed the bootstrap RNG for reproducible output
+      --backend=NAME   Compute backend: 'auto', 'jax', or 'numpy'; default: auto
+  -v, --verbose        Prints additional information
+  -h, --help           Display this help and exit
+      --version        Output version information and acknowledgments
+"""
+
+VERSION_TEXT = """andix {version}
+A TPU-native reimplementation of the andi anchor-distance method.
+License GPLv3+: GNU GPL version 3 or later <http://gnu.org/licenses/gpl.html>
+This is free software: you are free to change and redistribute it.
+There is NO WARRANTY, to the extent permitted by law.
+
+Acknowledgments:
+1) Method: Haubold, B. Klötzl, F. and Pfaffelhuber, P. (2015). Fast and \
+accurate estimation of evolutionary distances between closely related \
+genomes, Bioinformatics.
+2) Bootstrapping: Klötzl, F. and Haubold, B. (2016). Support Values for \
+Genome Phylogenies, Life 6.1.
+"""
+
+
+def usage(status: int) -> "int":
+    print(USAGE, end="", file=sys.stdout if status == 0 else sys.stderr)
+    return status
+
+
+def version() -> int:
+    from . import __version__
+
+    print(VERSION_TEXT.format(version=__version__), end="")
+    return 0
+
+
+def parse_args(argv: list[str], ctx: Context) -> tuple[list[str], int | None]:
+    """Parse flags into ctx.  Returns (file_names, early_exit_code)."""
+    # getopt has no optional_argument: a bare --progress means "always"
+    # (reference src/andi.c:111-113)
+    argv = [
+        "--progress=always" if a == "--progress" else a for a in argv
+    ]
+    try:
+        opts, args = getopt.gnu_getopt(
+            argv,
+            "jvht:p:m:b:l",
+            [
+                "version",
+                "truncate-names",
+                "file-of-filenames=",
+                "progress=",
+                "help",
+                "verbose",
+                "join",
+                "low-memory",
+                "threads=",
+                "bootstrap=",
+                "model=",
+                "seed=",
+                "backend=",
+                "block-size=",
+            ],
+        )
+    except getopt.GetoptError as e:
+        print(f"{ctx.prog}: {e}", file=sys.stderr)
+        return [], usage(1)
+
+    file_names: list[str] = []
+    for opt, arg in opts:
+        if opt == "--version":
+            return [], version()
+        elif opt == "--truncate-names":
+            ctx.truncate_names = True
+        elif opt == "--file-of-filenames":
+            file_names.extend(fasta.read_into_string_vector(arg, ctx))
+        elif opt == "--progress":
+            val = arg if arg else "always"
+            if val.lower() in ("always", "auto", "never"):
+                ctx.progress = Progress(val.lower())
+            else:
+                ctx.warn(
+                    f"invalid argument to --progress '{arg}'. Expected one "
+                    f"of 'auto', 'always', or 'never'."
+                )
+        elif opt in ("-h", "--help"):
+            return [], usage(0)
+        elif opt in ("-v", "--verbose"):
+            ctx.verbose = min(ctx.verbose + 1, 2)
+        elif opt == "-p":
+            try:
+                prop = float(arg)
+            except ValueError:
+                ctx.soft_err(
+                    f"Expected a floating point number for -p argument, but "
+                    f"'{arg}' was given. Skipping argument."
+                )
+                continue
+            if not math.isfinite(prop) or prop <= 0.0 or prop >= 1.0:
+                ctx.soft_err(
+                    f"A probability should be a value between 0 and 1, "
+                    f"exclusive; Ignoring -p {prop:f} argument."
+                )
+                continue
+            ctx.anchor_p_value = prop
+        elif opt in ("-l", "--low-memory"):
+            ctx.low_memory = True
+        elif opt in ("-j", "--join"):
+            ctx.join = True
+        elif opt in ("-t", "--threads"):
+            try:
+                threads = int(arg)
+                if threads < 0:
+                    raise ValueError
+            except ValueError:
+                ctx.warn(
+                    f"Expected a number for -t argument, but '{arg}' was "
+                    f"given. Ignoring -t argument."
+                )
+                continue
+            ctx.threads = threads
+        elif opt in ("-b", "--bootstrap"):
+            try:
+                bootstrap = int(arg)
+                if bootstrap <= 0:
+                    raise ValueError
+            except ValueError:
+                ctx.soft_err(
+                    f"Expected a positive number for -b argument, but "
+                    f"'{arg}' was given. Ignoring -b argument."
+                )
+                continue
+            ctx.bootstrap = bootstrap - 1
+        elif opt in ("-m", "--model"):
+            matched = None
+            for kind in Model:
+                if arg.lower() == kind.value.lower():
+                    matched = kind
+            if matched is None:
+                ctx.soft_err(
+                    "Ignoring argument for --model. Expected Raw, JC, "
+                    "Kimura, LogDet or ANI"
+                )
+            else:
+                ctx.model = matched
+        elif opt == "--seed":
+            ctx.seed = int(arg)
+        elif opt == "--backend":
+            ctx.backend = arg
+        elif opt == "--block-size":
+            ctx.block_syms = int(arg)
+
+    file_names.extend(args)
+    return file_names, None
+
+
+def select_backend(ctx: Context):
+    name = ctx.backend
+    if name in ("auto", "jax"):
+        try:
+            from .esa.backend_jax import JaxBackend
+
+            return JaxBackend(threads=ctx.threads)
+        except Exception:
+            if name == "jax":
+                raise
+    return pipeline.NumpyBackend()
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    ctx = Context()
+
+    file_names, early = parse_args(argv, ctx)
+    if early is not None:
+        return early
+
+    # at least one file name must be given in join mode (src/andi.c:233-235)
+    if ctx.join and not file_names:
+        print(
+            f"{ctx.prog}: In join mode at least one filename needs to be "
+            f"supplied.",
+            file=sys.stderr,
+        )
+        return 1
+
+    minfiles = 2 if ctx.join else 1
+    if len(file_names) < minfiles:
+        if not sys.stdin.isatty():
+            file_names.append("-")
+        else:
+            return usage(1)
+
+    seqs: list[Seq] = []
+    for file_name in file_names:
+        if ctx.join:
+            seqs.extend(fasta.read_fasta_join(file_name, ctx))
+        else:
+            seqs.extend(fasta.read_fasta(file_name, ctx))
+
+    n = len(seqs)
+    if n < 2:
+        print(
+            f"{ctx.prog}: I am truly sorry, but with less than two sequences "
+            f"({n} given) there is nothing to compare.",
+            file=sys.stderr,
+        )
+        return 1
+
+    if ctx.non_acgt:
+        ctx.warn(
+            "The input sequences contained characters other than acgtACGT. "
+            "These were automatically stripped to ensure correct results."
+        )
+
+    short = False
+    for s in seqs:
+        if ctx.truncate_names and len(s.name) > 10:
+            ctx.warn(
+                f"The sequence name '{s.name}' is longer than ten "
+                f"characters. It will be truncated in the output to "
+                f"'{s.name[:10]}'."
+            )
+        if s.len > LENGTH_LIMIT:
+            print(
+                f"{ctx.prog}: The sequence {s.name} is too long. The "
+                f"technical limit is {LENGTH_LIMIT}.",
+                file=sys.stderr,
+            )
+            return 1
+        if s.len == 0:
+            print(
+                f"{ctx.prog}: The sequence {s.name} is empty.",
+                file=sys.stderr,
+            )
+            return 1
+        if s.len < 1000:
+            short = True
+
+    if short:
+        ctx.soft_err(
+            "One of the given input sequences is shorter than a thousand "
+            "nucleotides. This may result in inaccurate distances. Try an "
+            "alignment instead."
+        )
+
+    show_progress = (
+        ctx.progress == Progress.ALWAYS
+        or (ctx.progress == Progress.AUTO and sys.stderr.isatty())
+    )
+    meter = output.ProgressMeter(n, show_progress)
+
+    backend = select_backend(ctx)
+    M = pipeline.calculate_matrix(
+        seqs, ctx, backend=backend, block_syms=ctx.block_syms, progress=meter
+    )
+    meter.done()
+
+    output.print_distances(M, seqs, n, True, ctx)
+    if ctx.verbose >= 1:
+        output.print_coverages(M, n)
+
+    if ctx.bootstrap:
+        calculate_bootstrap(M, seqs, n, ctx)
+
+    return ctx.exit_code
+
+
+def calculate_bootstrap(
+    M: list[list[CountMatrix]], seqs: list[Seq], n: int, ctx: Context
+) -> None:
+    """Reference ``calculate_bootstrap``, src/process.c:289-321."""
+    rng = np.random.default_rng(ctx.seed)
+    rounds = ctx.bootstrap
+    while rounds > 0:
+        rounds -= 1
+        B: list[list[CountMatrix]] = [[None] * n for _ in range(n)]  # type: ignore
+        for i in range(n):
+            for j in range(i, n):
+                if i == j:
+                    diag = CountMatrix.zero(seq_len=1)
+                    diag.counts[0] = 1
+                    B[i][j] = diag
+                    continue
+                datum = model_average(M[i][j], M[j][i])
+                datum = model_bootstrap(datum, rng)
+                B[i][j] = datum
+                B[j][i] = datum
+        output.print_distances(B, seqs, n, False, ctx)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,46 @@
+"""Test harness config: force CPU JAX with 8 virtual devices so sharding
+tests run without TPU hardware (SURVEY.md test strategy §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
+
+
+NUCL = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def random_dna(rng, n):
+    return NUCL[rng.integers(0, 4, n)]
+
+
+def mutate(rng, seq, rate):
+    """Substitute each site with prob ``rate`` to a uniformly different base
+    (the reference's test generator semantics, test/test_fasta.cxx:49-55
+    with -r raw rate)."""
+    codes = np.searchsorted(NUCL, seq)
+    hit = rng.random(len(seq)) < rate
+    shift = rng.integers(1, 4, len(seq))
+    return NUCL[(codes + np.where(hit, shift, 0)) % 4]
+
+
+@pytest.fixture
+def dna():
+    return random_dna
+
+
+@pytest.fixture
+def mutator():
+    return mutate

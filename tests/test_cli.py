@@ -1,0 +1,220 @@
+"""CLI integration tests (reference test/test_extra.sh, nan.sh, low_homo.sh,
+test_join.sh analogues at test-friendly sizes)."""
+
+import numpy as np
+import pytest
+
+from andix import cli
+
+
+def write_fasta(path, records, width=70):
+    with open(path, "w") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n")
+            for k in range(0, len(seq), width):
+                fh.write(seq[k : k + width] + "\n")
+
+
+def seq_str(arr):
+    return arr.tobytes().decode()
+
+
+@pytest.fixture
+def family(tmp_path, rng, dna, mutator):
+    base = dna(rng, 2000)
+    paths = []
+    for k, rate in enumerate([0.0, 0.03, 0.08]):
+        s = base if rate == 0 else mutator(rng, base, rate)
+        p = tmp_path / f"g{k}.fasta"
+        write_fasta(p, [(f"g{k}", seq_str(s))])
+        paths.append(str(p))
+    return paths
+
+
+def run_cli(capsys, args):
+    code = cli.main(args)
+    captured = capsys.readouterr()
+    return code, captured.out, captured.err
+
+
+class TestBasic:
+    def test_version(self, capsys):
+        code, out, err = run_cli(capsys, ["--version"])
+        assert code == 0
+        assert out.startswith("andix ")
+
+    def test_help(self, capsys):
+        code, out, err = run_cli(capsys, ["-h"])
+        assert code == 0
+        assert "Usage:" in out
+
+    def test_too_few_sequences(self, capsys, tmp_path, rng, dna):
+        p = tmp_path / "one.fasta"
+        write_fasta(p, [("only", seq_str(dna(rng, 1500)))])
+        code, out, err = run_cli(capsys, [str(p)])
+        assert code == 1
+        assert "less than two" in err
+
+    def test_phylip_output(self, capsys, family):
+        code, out, err = run_cli(
+            capsys, ["--progress=never"] + family
+        )
+        assert code == 0
+        lines = out.strip().split("\n")
+        assert lines[0] == "3"
+        assert len(lines) == 4
+        for line in lines[1:]:
+            cells = line.split()
+            assert len(cells) == 4
+            name = line[:10].strip()
+            assert name.startswith("g")
+        # symmetric matrix with zero diagonal
+        vals = np.array(
+            [[float(x) for x in line.split()[1:]] for line in lines[1:]]
+        )
+        assert np.allclose(vals, vals.T, atol=1e-4)
+        assert np.allclose(np.diag(vals), 0.0)
+
+    def test_distances_ordered_by_divergence(self, capsys, family):
+        code, out, err = run_cli(capsys, ["--progress=never"] + family)
+        lines = out.strip().split("\n")
+        row0 = [float(x) for x in lines[1].split()[1:]]
+        assert row0[1] < row0[2]  # d(g0,g1) < d(g0,g2)
+
+
+class TestModes:
+    def test_low_memory_diff_equal(self, capsys, family):
+        _, out_fast, _ = run_cli(capsys, ["--progress=never"] + family)
+        _, out_lm, _ = run_cli(capsys, ["--progress=never", "-l"] + family)
+        assert out_fast == out_lm
+
+    def test_file_of_filenames(self, capsys, family, tmp_path):
+        fof = tmp_path / "list.txt"
+        fof.write_text("\n".join(family) + "\n\n")
+        _, out_direct, _ = run_cli(capsys, ["--progress=never"] + family)
+        _, out_fof, _ = run_cli(
+            capsys, ["--progress=never", "--file-of-filenames", str(fof)]
+        )
+        assert out_direct == out_fof
+
+    def test_raw_model(self, capsys, family):
+        code, out, err = run_cli(
+            capsys, ["--progress=never", "-m", "Raw"] + family
+        )
+        assert code == 0
+
+    def test_bootstrap_count(self, capsys, family):
+        code, out, err = run_cli(
+            capsys,
+            ["--progress=never", "-b", "3", "--seed", "11"] + family,
+        )
+        # -b 3 prints the main matrix plus 2 bootstrap replicates
+        assert out.count("\n3\n") + out.startswith("3\n") == 3
+
+    def test_bootstrap_seed_reproducible(self, capsys, family):
+        args = ["--progress=never", "-b", "2", "--seed", "42"] + family
+        _, out1, _ = run_cli(capsys, args)
+        _, out2, _ = run_cli(capsys, args)
+        assert out1 == out2
+
+    def test_verbose_coverage(self, capsys, family):
+        code, out, err = run_cli(capsys, ["--progress=never", "-v"] + family)
+        assert "Coverage:" in out
+
+    def test_join_mode(self, capsys, tmp_path, rng, dna, mutator):
+        base1, base2 = dna(rng, 1200), dna(rng, 900)
+        m1, m2 = mutator(rng, base1, 0.05), mutator(rng, base2, 0.05)
+        pa = tmp_path / "asm_a.fa"
+        pb = tmp_path / "asm_b.fa"
+        write_fasta(pa, [("c1", seq_str(base1)), ("c2", seq_str(base2))])
+        write_fasta(pb, [("c1", seq_str(m1)), ("c2", seq_str(m2))])
+        code, out, err = run_cli(
+            capsys, ["--progress=never", "-j", str(pa), str(pb)]
+        )
+        assert code == 0
+        lines = out.strip().split("\n")
+        assert lines[0] == "2"
+        # names come from file basenames without extension
+        assert lines[1].split()[0] == "asm_a"
+        assert lines[2].split()[0] == "asm_b"
+        d = float(lines[1].split()[2])
+        assert 0.02 < d < 0.12
+
+    def test_join_needs_filename(self, capsys):
+        code, out, err = run_cli(capsys, ["-j"])
+        assert code == 1
+        assert "join mode" in err
+
+
+class TestWarnings:
+    def test_nan_warning_for_unrelated(self, capsys, tmp_path, rng, dna):
+        pa, pb = tmp_path / "a.fa", tmp_path / "b.fa"
+        write_fasta(pa, [("a", seq_str(dna(rng, 1500)))])
+        write_fasta(pb, [("b", seq_str(dna(rng, 1500)))])
+        code, out, err = run_cli(
+            capsys, ["--progress=never", str(pa), str(pb)]
+        )
+        assert code == 1  # soft error
+        assert "nan" in err
+        assert "nan" in out
+
+    def test_short_sequence_warning(self, capsys, tmp_path, rng, dna, mutator):
+        base = dna(rng, 500)
+        pa, pb = tmp_path / "a.fa", tmp_path / "b.fa"
+        write_fasta(pa, [("a", seq_str(base))])
+        write_fasta(pb, [("b", seq_str(mutator(rng, base, 0.05)))])
+        code, out, err = run_cli(
+            capsys, ["--progress=never", str(pa), str(pb)]
+        )
+        assert code == 1
+        assert "shorter than a thousand" in err
+
+    def test_low_homology_warning(self, capsys, tmp_path, rng, dna):
+        # two sequences sharing only a 300 bp island (reference low_homo.sh)
+        island = dna(rng, 300)
+        s1 = np.concatenate([dna(rng, 900), island, dna(rng, 900)])
+        s2 = np.concatenate([dna(rng, 900), island, dna(rng, 900)])
+        pa, pb = tmp_path / "a.fa", tmp_path / "b.fa"
+        write_fasta(pa, [("a", seq_str(s1))])
+        write_fasta(pb, [("b", seq_str(s2))])
+        code, out, err = run_cli(
+            capsys, ["--progress=never", str(pa), str(pb)]
+        )
+        assert "little homology" in err or "nan" in err
+
+    def test_non_acgt_warning(self, capsys, tmp_path, rng, dna, mutator):
+        base = dna(rng, 1500)
+        s = seq_str(base)
+        s = s[:700] + "NNNRY" + s[700:]
+        pa, pb = tmp_path / "a.fa", tmp_path / "b.fa"
+        write_fasta(pa, [("a", s)])
+        write_fasta(pb, [("b", seq_str(mutator(rng, base, 0.02)))])
+        code, out, err = run_cli(
+            capsys, ["--progress=never", str(pa), str(pb)]
+        )
+        assert "characters other than acgtACGT" in err
+
+    def test_truncate_names(self, capsys, tmp_path, rng, dna, mutator):
+        base = dna(rng, 1500)
+        pa, pb = tmp_path / "a.fa", tmp_path / "b.fa"
+        write_fasta(pa, [("averyveryverylongname", seq_str(base))])
+        write_fasta(pb, [("b", seq_str(mutator(rng, base, 0.02)))])
+        code, out, err = run_cli(
+            capsys, ["--progress=never", "--truncate-names", str(pa), str(pb)]
+        )
+        assert "longer than ten characters" in err
+        lines = out.strip().split("\n")
+        assert lines[1].startswith("averyveryv ")
+
+
+class TestFastaErrors:
+    def test_not_fasta_is_soft_error(self, capsys, tmp_path, rng, dna):
+        bad = tmp_path / "bad.txt"
+        bad.write_text("this is not fasta\n")
+        good = tmp_path / "good.fa"
+        write_fasta(good, [("g", seq_str(dna(rng, 1500)))])
+        code, out, err = run_cli(
+            capsys, ["--progress=never", str(bad), str(good)]
+        )
+        assert code == 1
+        assert "Expected '>'" in err

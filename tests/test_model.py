@@ -1,0 +1,152 @@
+"""Mutation-matrix and estimator tests (reference src/model.c semantics)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from andix import model as mm
+from andix.runtime import Model as K
+
+
+def b(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode(), dtype=np.uint8).copy()
+
+
+def make(counts16, seq_len=100):
+    m = mm.CountMatrix.zero(seq_len)
+    m.counts[:] = counts16
+    return m
+
+
+class TestCounting:
+    def test_count_equal_split_rule(self):
+        # len/4 per diagonal cell, remainder on TtoT (src/model.c:247-253)
+        m = mm.CountMatrix.zero()
+        mm.model_count_equal(m, b("A" * 11), 11, K.JC)
+        assert m.counts[mm.AtoA] == 2
+        assert m.counts[mm.CtoC] == 2
+        assert m.counts[mm.GtoG] == 2
+        assert m.counts[mm.TtoT] == 2 + 3
+
+    def test_count_equal_exact_for_logdet(self):
+        m = mm.CountMatrix.zero()
+        mm.model_count_equal(m, b("AACGT!T"), 7, K.LOGDET)
+        assert m.counts[mm.AtoA] == 2
+        assert m.counts[mm.CtoC] == 1
+        assert m.counts[mm.GtoG] == 1
+        assert m.counts[mm.TtoT] == 2  # '!' skipped
+
+    def test_model_count_classification(self):
+        m = mm.CountMatrix.zero()
+        mm.model_count(m, b("ACGT"), b("AGGA"), 4)
+        assert m.counts[mm.AtoA] == 1
+        assert m.counts[mm.CtoG] == 1
+        assert m.counts[mm.GtoG] == 1
+        assert m.counts[mm.TtoA] == 1
+        assert m.counts.sum() == 4
+
+    def test_model_count_skips_separators(self):
+        m = mm.CountMatrix.zero()
+        mm.model_count(m, b("A!G#T"), b("A!GAT"), 5)
+        assert m.counts.sum() == 3  # positions 1 and 3 skipped
+
+    def test_nucl2bit(self):
+        codes = mm.nucl2bit(b("ACGT"))
+        assert list(codes) == [0, 1, 2, 3]
+
+
+class TestEstimators:
+    def test_raw(self):
+        # 90 matches, 10 substitutions
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 90
+        c[mm.AtoC] = 10
+        assert mm.estimate_raw(make(c)) == pytest.approx(0.1)
+
+    def test_raw_insignificant_is_nan(self):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 3
+        assert math.isnan(mm.estimate_raw(make(c)))
+
+    def test_jc(self):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 90
+        c[mm.AtoC] = 10
+        expected = -0.75 * math.log(1.0 - 4.0 / 3.0 * 0.1)
+        assert mm.estimate_jc(make(c)) == pytest.approx(expected)
+
+    def test_jc_zero_distance_clamped(self):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 100
+        assert mm.estimate_jc(make(c)) == 0.0
+
+    def test_jc_saturated_is_nan(self):
+        # raw > 0.75 makes the log argument negative
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoC] = 80
+        c[mm.AtoA] = 20
+        assert math.isnan(mm.estimate_jc(make(c)))
+
+    def test_kimura(self):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 80
+        c[mm.AtoG] = 12  # transition
+        c[mm.AtoC] = 8  # transversion
+        P, Q = 0.12, 0.08
+        expected = -0.25 * math.log((1 - 2 * Q) * (1 - 2 * P - Q) ** 2)
+        assert mm.estimate_kimura(make(c)) == pytest.approx(expected)
+
+    def test_ani(self):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 95
+        c[mm.AtoC] = 5
+        assert mm.estimate_ani(make(c)) == pytest.approx(95.0)
+
+    def test_logdet_matches_jc_on_symmetric_data(self):
+        # under symmetric substitution, LogDet ~= JC
+        c = np.zeros(16, dtype=np.int64)
+        for d in (mm.AtoA, mm.CtoC, mm.GtoG, mm.TtoT):
+            c[d] = 2250
+        for o in mm._SNP_CELLS:
+            c[o] = 25
+        ld = mm.estimate_logdet(make(c, 10000))
+        jc = mm.estimate_jc(make(c, 10000))
+        assert ld == pytest.approx(jc, rel=1e-6)
+
+    def test_average(self):
+        a = make(np.arange(16), 10)
+        z = make(np.ones(16, dtype=np.int64), 5)
+        avg = mm.model_average(a, z)
+        assert avg.seq_len == 15
+        assert (avg.counts == np.arange(16) + 1).all()
+
+    def test_coverage(self):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 50
+        assert mm.model_coverage(make(c, 100)) == pytest.approx(0.5)
+
+
+class TestBootstrap:
+    def test_preserves_total_and_seq_len(self, rng):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 900
+        c[mm.AtoC] = 100
+        m = make(c, 1000)
+        bs = mm.model_bootstrap(m, rng)
+        assert bs.counts.sum() == 1000
+        assert bs.seq_len == 1000
+
+    def test_seeded_reproducibility(self):
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 900
+        c[mm.AtoC] = 100
+        m = make(c, 1000)
+        a = mm.model_bootstrap(m, np.random.default_rng(7))
+        z = mm.model_bootstrap(m, np.random.default_rng(7))
+        assert (a.counts == z.counts).all()
+
+    def test_zero_total(self, rng):
+        m = mm.CountMatrix.zero(10)
+        bs = mm.model_bootstrap(m, rng)
+        assert bs.counts.sum() == 0

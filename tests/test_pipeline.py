@@ -1,0 +1,81 @@
+"""Pipeline vs oracle: full count-matrix parity on small inputs, plus the
+mode-equivalence requirement (low-memory == default) from
+test/test_extra.sh:19-22."""
+
+import numpy as np
+import pytest
+
+from andix import oracle, pipeline
+from andix.runtime import Context, Model
+from andix.sequence import Seq
+
+
+def _grid_equal(A, B, n):
+    for i in range(n):
+        for j in range(n):
+            if A[i][j].seq_len != B[i][j].seq_len:
+                return False
+            if not (A[i][j].counts == B[i][j].counts).all():
+                return False
+    return True
+
+
+def make_family(rng, dna, mutator, n, length, rate):
+    base = dna(rng, length)
+    seqs = [Seq(base, "g0")]
+    for k in range(1, n):
+        seqs.append(Seq(mutator(rng, base, rate), f"g{k}"))
+    return seqs
+
+
+class TestPipelineVsOracle:
+    def test_pair(self, rng, dna, mutator):
+        seqs = make_family(rng, dna, mutator, 2, 400, 0.08)
+        ctx = Context()
+        assert _grid_equal(
+            oracle.matrix_oracle(seqs, ctx.anchor_p_value, ctx.model),
+            pipeline.calculate_matrix(seqs, ctx),
+            2,
+        )
+
+    def test_four_genomes(self, rng, dna, mutator):
+        seqs = make_family(rng, dna, mutator, 4, 300, 0.05)
+        ctx = Context()
+        assert _grid_equal(
+            oracle.matrix_oracle(seqs, ctx.anchor_p_value, ctx.model),
+            pipeline.calculate_matrix(seqs, ctx),
+            4,
+        )
+
+    @pytest.mark.parametrize("kind", [Model.RAW, Model.LOGDET])
+    def test_models(self, rng, dna, mutator, kind):
+        seqs = make_family(rng, dna, mutator, 3, 300, 0.06)
+        ctx = Context(model=kind)
+        assert _grid_equal(
+            oracle.matrix_oracle(seqs, ctx.anchor_p_value, ctx.model),
+            pipeline.calculate_matrix(seqs, ctx),
+            3,
+        )
+
+    def test_identical_sequences(self, rng, dna):
+        s = dna(rng, 500)
+        seqs = [Seq(s, "a"), Seq(s.copy(), "b")]
+        ctx = Context()
+        M = pipeline.calculate_matrix(seqs, ctx)
+        # identical special case: whole query counted as equal
+        assert M[0][1].counts.sum() == 500
+        assert M[0][1].counts[0] == 125  # len/4 on AtoA
+
+
+class TestScheduleEquivalence:
+    def test_low_memory_identical_output(self, rng, dna, mutator):
+        seqs = make_family(rng, dna, mutator, 4, 350, 0.07)
+        fast = pipeline.calculate_matrix(seqs, Context())
+        lm = pipeline.calculate_matrix(seqs, Context(low_memory=True))
+        assert _grid_equal(fast, lm, 4)
+
+    def test_tiny_blocks_identical_output(self, rng, dna, mutator):
+        seqs = make_family(rng, dna, mutator, 5, 200, 0.05)
+        one = pipeline.calculate_matrix(seqs, Context())
+        blocked = pipeline.calculate_matrix(seqs, Context(), block_syms=1200)
+        assert _grid_equal(one, blocked, 5)
