@@ -1,0 +1,206 @@
+"""Golden parity: andix stdout must byte-match the real andi binary.
+
+The reference sources (read-only at /root/reference) are compiled at test
+time against small from-scratch shims for libdivsufsort and the two GSL
+calls (tests/refshim/ — oracle scaffolding, not framework code).  This is
+the strongest parity gate available without vendored datasets: the PHYLIP
+matrix, warnings behavior, and exit codes must match on every configuration
+(SURVEY.md §4: "direct PHYLIP-matrix parity vs reference andi").
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+SHIM = os.path.join(os.path.dirname(__file__), "refshim")
+
+
+@pytest.fixture(scope="session")
+def andi_oracle(tmp_path_factory):
+    if not os.path.isdir(os.path.join(REFERENCE, "src")):
+        pytest.skip("reference sources not available")
+    build = tmp_path_factory.mktemp("andi_oracle")
+    obj = build / "divsufsort_shim.o"
+    exe = build / "andi_oracle"
+    subprocess.run(
+        ["g++", "-O2", "-c", os.path.join(SHIM, "divsufsort_shim.cpp"),
+         "-I", SHIM, "-o", str(obj)],
+        check=True,
+    )
+    srcs = [
+        os.path.join(REFERENCE, "src", f)
+        for f in ["andi.c", "io.c", "process.c", "sequence.c", "esa.c", "model.c"]
+    ] + [os.path.join(REFERENCE, "libs", "pfasta.c")]
+    subprocess.run(
+        ["gcc", "-O2", "-fopenmp", "-I", SHIM,
+         "-I", os.path.join(REFERENCE, "src"),
+         "-I", os.path.join(REFERENCE, "libs"),
+         "-I", os.path.join(REFERENCE, "opt")]
+        + srcs + [str(obj), "-lm", "-lstdc++", "-o", str(exe)],
+        check=True,
+    )
+    return str(exe)
+
+
+def run_ref(exe, args, cwd):
+    return subprocess.run(
+        [exe, "--progress=never", "-t", "1"] + args,
+        capture_output=True, text=True, cwd=cwd,
+    )
+
+
+def run_andix(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "andix.cli", "--progress=never"] + args,
+        capture_output=True, text=True, cwd=cwd,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))},
+    )
+
+
+def write_fasta(path, records, width=70):
+    with open(path, "w") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n")
+            s = seq.tobytes().decode()
+            for k in range(0, len(s), width):
+                fh.write(s[k : k + width] + "\n")
+
+
+@pytest.fixture
+def genomes(tmp_path, rng, dna, mutator):
+    base = dna(rng, 3000)
+    paths = []
+    for k, rate in enumerate([0.0, 0.02, 0.06, 0.12]):
+        s = base if rate == 0 else mutator(rng, base, rate)
+        p = tmp_path / f"g{k}.fa"
+        write_fasta(p, [(f"g{k}", s)])
+        paths.append(p.name)
+    return tmp_path, paths
+
+
+def assert_parity(exe, args, cwd, check_code=True):
+    ref = run_ref(exe, args, str(cwd))
+    got = run_andix(args, str(cwd))
+    assert got.stdout == ref.stdout, (
+        f"stdout mismatch for {args}\n--- andi ---\n{ref.stdout}"
+        f"--- andix ---\n{got.stdout}"
+    )
+    if check_code:
+        assert got.returncode == ref.returncode, (args, ref.stderr, got.stderr)
+
+
+class TestMatrixParity:
+    def test_default_jc(self, andi_oracle, genomes):
+        cwd, paths = genomes
+        assert_parity(andi_oracle, paths, cwd)
+
+    @pytest.mark.parametrize("model", ["Raw", "Kimura", "LogDet", "ANI"])
+    def test_models(self, andi_oracle, genomes, model):
+        cwd, paths = genomes
+        assert_parity(andi_oracle, ["-m", model, *paths], cwd)
+
+    def test_low_memory(self, andi_oracle, genomes):
+        cwd, paths = genomes
+        assert_parity(andi_oracle, ["-l", *paths], cwd)
+
+    def test_verbose_coverage(self, andi_oracle, genomes):
+        cwd, paths = genomes
+        assert_parity(andi_oracle, ["-v", *paths], cwd)
+
+    def test_extra_verbose(self, andi_oracle, genomes):
+        cwd, paths = genomes
+        assert_parity(andi_oracle, ["-v", "-v", *paths], cwd)
+
+    def test_anchor_pvalue(self, andi_oracle, genomes):
+        cwd, paths = genomes
+        assert_parity(andi_oracle, ["-p", "0.2", *paths], cwd)
+
+    def test_two_sequences_one_file(self, andi_oracle, tmp_path, rng, dna,
+                                    mutator):
+        base = dna(rng, 2500)
+        write_fasta(
+            tmp_path / "both.fa",
+            [("s1", base), ("s2", mutator(rng, base, 0.04))],
+        )
+        assert_parity(andi_oracle, ["both.fa"], tmp_path)
+
+
+class TestEdgeParity:
+    def test_unrelated_nan(self, andi_oracle, tmp_path, rng, dna):
+        write_fasta(tmp_path / "a.fa", [("a", dna(rng, 2000))])
+        write_fasta(tmp_path / "b.fa", [("b", dna(rng, 2000))])
+        assert_parity(andi_oracle, ["a.fa", "b.fa"], tmp_path)
+
+    def test_low_homology(self, andi_oracle, tmp_path, rng, dna):
+        island = dna(rng, 400)
+        s1 = np.concatenate([dna(rng, 1100), island, dna(rng, 1100)])
+        s2 = np.concatenate([dna(rng, 1100), island.copy(), dna(rng, 1100)])
+        write_fasta(tmp_path / "a.fa", [("a", s1)])
+        write_fasta(tmp_path / "b.fa", [("b", s2)])
+        assert_parity(andi_oracle, ["a.fa", "b.fa"], tmp_path)
+
+    def test_identical(self, andi_oracle, tmp_path, rng, dna):
+        s = dna(rng, 2000)
+        write_fasta(tmp_path / "a.fa", [("a", s)])
+        write_fasta(tmp_path / "b.fa", [("b", s.copy())])
+        assert_parity(andi_oracle, ["a.fa", "b.fa"], tmp_path)
+
+    def test_join_mode(self, andi_oracle, tmp_path, rng, dna, mutator):
+        c1, c2, c3 = dna(rng, 1200), dna(rng, 800), dna(rng, 500)
+        write_fasta(tmp_path / "asm_a.fa", [("c1", c1), ("c2", c2), ("c3", c3)])
+        write_fasta(
+            tmp_path / "asm_b.fa",
+            [("c1", mutator(rng, c1, 0.03)), ("c2", mutator(rng, c2, 0.03))],
+        )
+        assert_parity(andi_oracle, ["-j", "asm_a.fa", "asm_b.fa"], tmp_path)
+
+    def test_non_acgt_stripping(self, andi_oracle, tmp_path, rng, dna,
+                                mutator):
+        base = dna(rng, 2000)
+        s = base.tobytes().decode()
+        s = s[:900] + "NNNRYWSacgt" + s[900:]
+        with open(tmp_path / "a.fa", "w") as fh:
+            fh.write(">a\n" + s + "\n")
+        write_fasta(tmp_path / "b.fa", [("b", mutator(rng, base, 0.03))])
+        assert_parity(andi_oracle, ["a.fa", "b.fa"], tmp_path)
+
+    def test_short_sequences(self, andi_oracle, tmp_path, rng, dna, mutator):
+        base = dna(rng, 600)
+        write_fasta(tmp_path / "a.fa", [("a", base)])
+        write_fasta(tmp_path / "b.fa", [("b", mutator(rng, base, 0.02))])
+        assert_parity(andi_oracle, ["a.fa", "b.fa"], tmp_path)
+
+    def test_truncate_names(self, andi_oracle, tmp_path, rng, dna, mutator):
+        base = dna(rng, 2000)
+        write_fasta(tmp_path / "a.fa", [("a_very_long_sequence_name", base)])
+        write_fasta(tmp_path / "b.fa", [("b", mutator(rng, base, 0.03))])
+        assert_parity(
+            andi_oracle, ["--truncate-names", "a.fa", "b.fa"], tmp_path
+        )
+
+    def test_tiny_scientific_notation(self, andi_oracle, tmp_path, rng, dna,
+                                      mutator):
+        # distances in (0, 0.001) flip the whole matrix to scientific
+        base = dna(rng, 20_000)
+        write_fasta(tmp_path / "a.fa", [("a", base)])
+        write_fasta(tmp_path / "b.fa", [("b", mutator(rng, base, 0.0004))])
+        assert_parity(andi_oracle, ["a.fa", "b.fa"], tmp_path)
+
+    def test_many_contigs_join(self, andi_oracle, tmp_path, rng, dna,
+                               mutator):
+        contigs = [dna(rng, 300 + 17 * k) for k in range(8)]
+        write_fasta(
+            tmp_path / "asm_a.fa",
+            [(f"c{k}", c) for k, c in enumerate(contigs)],
+        )
+        write_fasta(
+            tmp_path / "asm_b.fa",
+            [(f"c{k}", mutator(rng, c, 0.05)) for k, c in enumerate(contigs)],
+        )
+        assert_parity(andi_oracle, ["-j", "asm_a.fa", "asm_b.fa"], tmp_path)
