@@ -1,0 +1,103 @@
+"""Prefix-doubling suffix array on device (jax.lax.sort).
+
+The TPU-native replacement for libdivsufsort (reference ``esa_init_SA``,
+src/esa.c:294-304): O(log n) rounds, each one big multi-key device sort of
+(rank, rank_at_offset_k, index) int32 triples — exactly the kind of regular,
+memory-bandwidth-bound bulk primitive XLA maps well onto TPU.  Rounds stop
+early once all ranks are distinct (real genomes resolve long before the
+worst case; near-identical strains need rounds up to their longest shared
+run).
+
+Symbols are int32 (bytes + unique per-segment separators >= 256, see
+``andix.esa.joint``), so no 64-bit keys are needed: two int32 sort keys
+replace one packed int64 key.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def _initial_ranks(sym: jax.Array, length: int):
+    idx = jnp.arange(length, dtype=jnp.int32)
+    sym_sorted, order = jax.lax.sort((sym.astype(jnp.int32), idx), num_keys=1)
+    changed = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), (sym_sorted[1:] != sym_sorted[:-1]).astype(jnp.int32)]
+    )
+    rank_sorted = jnp.cumsum(changed, dtype=jnp.int32)
+    rank = jnp.zeros(length, jnp.int32).at[order].set(rank_sorted)
+    max_rank = rank_sorted[-1]
+    return rank, max_rank
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def _doubling_round(rank: jax.Array, k: jax.Array, length: int):
+    idx = jnp.arange(length, dtype=jnp.int32)
+    shifted = idx + k
+    key2 = jnp.where(shifted < length, rank[shifted % length], jnp.int32(-1))
+    r1, r2, order = jax.lax.sort((rank, key2, idx), num_keys=2)
+    changed = jnp.concatenate(
+        [
+            jnp.zeros(1, jnp.int32),
+            ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
+        ]
+    )
+    rank_sorted = jnp.cumsum(changed, dtype=jnp.int32)
+    new_rank = jnp.zeros(length, jnp.int32).at[order].set(rank_sorted)
+    return new_rank, rank_sorted[-1], order
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def _sa_from_rank(rank: jax.Array, length: int):
+    return (
+        jnp.zeros(length, jnp.int32)
+        .at[rank]
+        .set(jnp.arange(length, dtype=jnp.int32))
+    )
+
+
+def suffix_array_device(sym: jax.Array) -> jax.Array:
+    """Suffix array of an int32 symbol array, computed on device.
+
+    Python-level round loop with early exit (one scalar readback per round);
+    each round is a fully jitted device sort.
+    """
+    length = int(sym.shape[0])
+    if length == 0:
+        return jnp.zeros(0, jnp.int32)
+    rank, max_rank = _initial_ranks(sym, length)
+    if int(max_rank) == length - 1:
+        return _sa_from_rank(rank, length)
+    k = 1
+    while True:
+        rank, max_rank, order = _doubling_round(
+            rank, jnp.int32(min(k, length)), length
+        )
+        if int(max_rank) == length - 1 or k >= length:
+            return order
+        k *= 2
+
+
+def suffix_array(sym: np.ndarray) -> np.ndarray:
+    """NumPy in / NumPy out wrapper."""
+    sym_d = jnp.asarray(np.ascontiguousarray(sym, dtype=np.int32))
+    return np.asarray(jax.device_get(suffix_array_device(sym_d)))
+
+
+def suffix_array_fixed_rounds(sym: jax.Array, rounds: int) -> jax.Array:
+    """Fully traced variant with a static round count (for jit/sharding
+    validation paths like ``dryrun_multichip`` where host round-trips are
+    not possible).  ``rounds`` must satisfy 2**rounds >= len(sym)."""
+    length = int(sym.shape[0])
+    rank, _ = _initial_ranks(sym, length)
+    order = _sa_from_rank(rank, length)
+    k = 1
+    for _ in range(rounds):
+        rank, _, order = _doubling_round(rank, jnp.int32(min(k, length)), length)
+        k *= 2
+    return order

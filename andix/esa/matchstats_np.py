@@ -81,13 +81,15 @@ def match_stats_sa_order(
     sa: np.ndarray,
     lcp: np.ndarray,
     subject_genome: int,
+    segid: np.ndarray | None = None,
 ) -> SubjectMatchStats:
     """Compute (matchlen, unique, pos_s) for every joint-SA entry, measured
     against the RS segment of ``subject_genome``."""
     n = len(sa)
     sa = np.asarray(sa, dtype=np.int64)
     lcp = np.asarray(lcp, dtype=np.int64)
-    segid = layout.segment_of(sa)
+    if segid is None:
+        segid = layout.segment_of(sa)
     subj_seg = int(
         np.nonzero((layout.genome_ids == subject_genome) & layout.is_subject)[0][0]
     )

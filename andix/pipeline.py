@@ -6,7 +6,8 @@ each building one subject ESA and scanning queries serially, subjects are
 grouped into *blocks*; per block one joint suffix array over all block
 subjects plus all query strings is built (device-side sorts in the JAX
 backend), per-subject matching statistics are produced by vectorized scans,
-and the path-dependent anchor chaining is replayed on host.
+and the path-dependent anchor chaining is replayed on host (native C++ with
+OpenMP across queries, else Python).
 
 Low-memory mode (reference ``-l``) maps to single-subject blocks — a
 different schedule with bit-identical output, as the reference requires
@@ -17,27 +18,55 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import chain
+from . import chain, native
 from .esa import joint, matchstats_np, sa_numpy
+from .esa.backend_jax import BlockContext, _query_blob
 from .model import CountMatrix
 from .output import ProgressMeter
-from .runtime import Context
+from .runtime import Context, Model
 from .sequence import Seq, Subject, subject_init
 
 
 class NumpyBackend:
-    """Host backend: numpy doubling SA + Kasai LCP + numpy scans."""
+    """Host backend: numpy doubling SA + (native) LCP + numpy scans."""
 
     name = "numpy"
 
-    def suffix_array(self, sym: np.ndarray) -> np.ndarray:
-        return sa_numpy.suffix_array(sym)
+    def __init__(self, threads: int = 0):
+        self.threads = threads
 
-    def lcp_array(self, sym: np.ndarray, sa: np.ndarray) -> np.ndarray:
-        return sa_numpy.lcp_array(sym, sa)
+    def prepare_block(self, layout: joint.BlockLayout) -> BlockContext:
+        sa = sa_numpy.suffix_array(layout.sym)
+        if native.available():
+            lcp = native.lcp_from_sa(layout.sym, sa, self.threads)
+        else:
+            lcp = sa_numpy.lcp_array(layout.sym, sa)
+        genomes, q_off, blob, qpos_all = _query_blob(layout)
+        isa = matchstats_np.inverse_sa(sa)
+        tq = isa[qpos_all]
+        ctx = BlockContext(
+            layout=layout,
+            q_genomes=genomes,
+            q_off=q_off,
+            query_blob=blob,
+            sa_d=sa,  # host arrays in the numpy backend
+            lcp_d=np.asarray(lcp, dtype=np.int64),
+            segid_d=layout.segment_of(np.asarray(sa, dtype=np.int64)),
+            tq_d=tq,
+        )
+        return ctx
 
-    def match_stats(self, layout, sa, lcp, subject_genome):
-        return matchstats_np.match_stats_sa_order(layout, sa, lcp, subject_genome)
+    def subject_stats(self, ctx: BlockContext, subject_genome: int):
+        stats = matchstats_np.match_stats_sa_order(
+            ctx.layout, ctx.sa_d, ctx.lcp_d, subject_genome,
+            segid=ctx.segid_d,
+        )
+        tq = ctx.tq_d
+        return (
+            stats.matchlen[tq].astype(np.int32),
+            stats.unique[tq],
+            stats.pos_s[tq].astype(np.int32),
+        )
 
 
 def make_blocks(
@@ -65,16 +94,51 @@ def make_blocks(
     return blocks
 
 
+def _replay_subject(
+    ctx: BlockContext,
+    stats,
+    subject: Subject,
+    subject_idx: int,
+    model_kind: Model,
+    threads: int,
+) -> dict[int, CountMatrix]:
+    """Replay all queries of a block context against one subject."""
+    ml, un, ps = stats
+    exact = model_kind in (Model.LOGDET, Model.ANI)
+    out: dict[int, CountMatrix] = {}
+    if native.available():
+        counts = native.dist_anchor_replay_batch(
+            ml, un, ps, subject.rs, ctx.query_blob, ctx.q_off,
+            subject.threshold, exact, threads,
+        )
+        for k, genome in enumerate(ctx.q_genomes):
+            if genome == subject_idx:
+                continue
+            seq_len = int(ctx.q_off[k + 1] - ctx.q_off[k])
+            out[genome] = CountMatrix(counts[k].copy(), seq_len)
+    else:
+        for k, genome in enumerate(ctx.q_genomes):
+            if genome == subject_idx:
+                continue
+            lo, hi = int(ctx.q_off[k]), int(ctx.q_off[k + 1])
+            out[genome] = chain.dist_anchor_replay(
+                ml[lo:hi], un[lo:hi], ps[lo:hi], subject.rs,
+                ctx.query_blob[lo:hi], subject.threshold, model_kind,
+            )
+    return out
+
+
 def calculate_matrix(
     seqs: list[Seq],
     ctx: Context,
     backend=None,
-    block_syms: int = 1 << 27,
+    block_syms: int | None = None,
     progress: ProgressMeter | None = None,
 ) -> list[list[CountMatrix]]:
     """Fill the full n×n count-matrix grid (reference
     ``calculate_distances`` compute phase, src/process.c:230-251)."""
-    backend = backend or NumpyBackend()
+    backend = backend or NumpyBackend(ctx.threads)
+    block_syms = block_syms if block_syms is not None else ctx.block_syms
     n = len(seqs)
     subjects = [subject_init(s, ctx.anchor_p_value) for s in seqs]
 
@@ -87,27 +151,18 @@ def calculate_matrix(
     for block in make_blocks(subjects, block_syms, ctx.low_memory):
         in_block = set(block)
         subject_rs = {i: subjects[i].rs for i in block}
-        query_seqs = {
-            j: seqs[j].data for j in range(n) if j not in in_block
-        }
+        query_seqs = {j: seqs[j].data for j in range(n) if j not in in_block}
         layout = joint.build_block(subject_rs, query_seqs)
-        sa = backend.suffix_array(layout.sym)
-        lcp = backend.lcp_array(layout.sym, sa)
-        isa = matchstats_np.inverse_sa(sa)
+        bctx = backend.prepare_block(layout)
 
         for i in block:
-            stats = backend.match_stats(layout, sa, lcp, i)
-            for j in range(n):
-                if j == i:
-                    continue
-                ml, un, ps = matchstats_np.extract_query_stats(
-                    layout, isa, stats, j
-                )
-                M[i][j] = chain.dist_anchor_replay(
-                    ml, un, ps, subjects[i].rs, seqs[j].data,
-                    subjects[i].threshold, ctx.model,
-                )
-                if progress is not None:
-                    progress.advance(1)
+            stats = backend.subject_stats(bctx, i)
+            row = _replay_subject(
+                bctx, stats, subjects[i], i, ctx.model, ctx.threads
+            )
+            for j, cm in row.items():
+                M[i][j] = cm
+            if progress is not None:
+                progress.advance(n - 1)
 
     return M

@@ -1,0 +1,123 @@
+"""JAX backend tests: device SA/scans/matchstats must equal the numpy
+backend and the brute-force oracle (runs on CPU JAX with 8 virtual
+devices, see conftest)."""
+
+import numpy as np
+import pytest
+
+from andix import pipeline
+from andix.esa import joint, matchstats_np, sa_numpy, scans
+from andix.esa.backend_jax import JaxBackend
+from andix.esa.doubling import suffix_array, suffix_array_fixed_rounds
+from andix.oracle import match_stats_brute
+from andix.runtime import Context, Model
+from andix.sequence import Seq, catcomp
+
+
+class TestDoubling:
+    @pytest.mark.parametrize("n", [1, 2, 13, 100, 1000])
+    def test_random_matches_numpy(self, rng, n):
+        sym = rng.integers(0, 6, n).astype(np.int32)
+        assert (suffix_array(sym) == sa_numpy.suffix_array(sym)).all()
+
+    def test_repetitive(self):
+        sym = np.frombuffer(b"GATTACA" * 64, np.uint8).astype(np.int32)
+        assert (suffix_array(sym) == sa_numpy.suffix_array(sym)).all()
+
+    def test_with_separators(self, rng):
+        sym = np.concatenate(
+            [
+                rng.integers(65, 85, 200).astype(np.int32),
+                [256],
+                rng.integers(65, 85, 150).astype(np.int32),
+                [257],
+            ]
+        ).astype(np.int32)
+        assert (suffix_array(sym) == sa_numpy.suffix_array(sym)).all()
+
+    def test_fixed_rounds_variant(self, rng):
+        import jax.numpy as jnp
+
+        sym = rng.integers(0, 4, 256).astype(np.int32)
+        rounds = 8  # 2**8 = 256 >= n
+        got = np.asarray(
+            suffix_array_fixed_rounds(jnp.asarray(sym), rounds)
+        )
+        assert (got == sa_numpy.suffix_array(sym)).all()
+
+
+class TestDeviceScan:
+    def test_vs_numpy_scan(self, rng):
+        import jax.numpy as jnp
+
+        n = 10_000
+        vals = rng.integers(0, 1000, n).astype(np.int32)
+        resets = rng.random(n) < 0.03
+        got = np.asarray(
+            scans.segmented_min_scan(jnp.asarray(vals), jnp.asarray(resets),
+                                     chunk=128)
+        )
+        want = matchstats_np.segmented_min_scan(vals, resets, block=512)
+        assert (got.astype(np.int64) == want).all()
+
+    def test_short_input(self, rng):
+        import jax.numpy as jnp
+
+        vals = np.array([5, 3, 7], dtype=np.int32)
+        resets = np.array([False, True, False])
+        got = np.asarray(
+            scans.segmented_min_scan(jnp.asarray(vals), jnp.asarray(resets))
+        )
+        assert list(got) == [5, 3, 3]
+
+
+class TestJaxBackendStats:
+    def test_pair_stats_vs_brute(self, rng, dna, mutator):
+        s1 = dna(rng, 300)
+        s2 = mutator(rng, s1, 0.08)
+        rs = catcomp(s1)
+        layout = joint.build_block({0: rs}, {1: s2})
+        be = JaxBackend()
+        ctx = be.prepare_block(layout)
+        ml, un, ps = be.subject_stats(ctx, 0)
+        # slice out genome 1's span from the blob
+        k = ctx.q_genomes.index(1)
+        lo, hi = int(ctx.q_off[k]), int(ctx.q_off[k + 1])
+        bml, bun, bps = match_stats_brute(rs, s2)
+        assert (ml[lo:hi] == bml).all()
+        assert (un[lo:hi] == bun).all()
+        assert (ps[lo:hi][bun] == bps[bun]).all()
+
+
+class TestJaxPipeline:
+    def _grids_equal(self, A, B, n):
+        return all(
+            (A[i][j].counts == B[i][j].counts).all()
+            and A[i][j].seq_len == B[i][j].seq_len
+            for i in range(n)
+            for j in range(n)
+        )
+
+    def test_matrix_equals_numpy_backend(self, rng, dna, mutator):
+        base = dna(rng, 600)
+        seqs = [Seq(base, "g0")] + [
+            Seq(mutator(rng, base, r), f"g{k+1}")
+            for k, r in enumerate([0.02, 0.07, 0.15])
+        ]
+        ctx = Context()
+        M_np = pipeline.calculate_matrix(seqs, ctx, pipeline.NumpyBackend())
+        M_jx = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        assert self._grids_equal(M_np, M_jx, 4)
+
+    def test_blocked_jax_equals_single_block(self, rng, dna, mutator):
+        base = dna(rng, 400)
+        seqs = [Seq(base, "g0")] + [
+            Seq(mutator(rng, base, r), f"g{k+1}")
+            for k, r in enumerate([0.03, 0.06, 0.1, 0.2])
+        ]
+        ctx = Context()
+        M_one = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        M_blk = pipeline.calculate_matrix(
+            seqs, ctx, JaxBackend(), block_syms=2500
+        )
+        assert self._grids_equal(M_one, M_blk, 5)
