@@ -27,6 +27,8 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax
 
 # Estimator math must be float64 to match the reference's C doubles
@@ -34,3 +36,18 @@ import jax
 # multi-key int32 sorts, so x64 is not required on the hot path; enabling it
 # globally only affects tiny host-side reductions.
 jax.config.update("jax_enable_x64", True)
+
+# XLA compiles are expensive on tunneled TPU backends (tens of seconds per
+# sort shape).  All device entry points use padded shape buckets, and the
+# persistent cache makes recompiles once-per-machine instead of once-per-run.
+_cache_dir = _os.environ.get(
+    "ANDIX_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "andix-jax"),
+)
+if _cache_dir and _cache_dir != "0":
+    try:  # pragma: no cover - best effort
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -23,7 +23,35 @@ import numpy as np
 
 from .. import native
 from . import doubling, matchstats_jax, sa_numpy
-from .joint import BlockLayout
+from .joint import SEPARATOR_BASE, BlockLayout
+
+
+_MIN_BUCKET = int(__import__("os").environ.get("ANDIX_MIN_BUCKET", 1 << 16))
+
+
+def bucket(n: int, minimum: int | None = None) -> int:
+    """Round up to {2^k, 1.5*2^k} so device programs compile per bucket,
+    not per exact block size (waste <= 33%)."""
+    b = minimum if minimum is not None else _MIN_BUCKET
+    while b < n:
+        b2 = b + b // 2
+        if b2 >= n:
+            return b2
+        b *= 2
+    return b
+
+
+def pad_symbols(sym: np.ndarray, padded_n: int) -> np.ndarray:
+    """Pad the joint text with strictly increasing symbols larger than every
+    real symbol.  All real suffixes compare below all padding suffixes and
+    no two real suffixes can tie into the padding (segments end with unique
+    separators), so ``SA[:n_real]`` of the padded text equals the real SA."""
+    n = len(sym)
+    if padded_n == n:
+        return sym
+    pad_base = int(sym.max(initial=SEPARATOR_BASE)) + 1 if n else SEPARATOR_BASE
+    pad = pad_base + np.arange(padded_n - n, dtype=np.int32)
+    return np.concatenate([sym, pad])
 
 
 @dataclasses.dataclass
@@ -36,7 +64,7 @@ class BlockContext:
     sa_d: jax.Array
     lcp_d: jax.Array
     segid_d: jax.Array
-    tq_d: jax.Array  # int32 SA positions of blob elements
+    tq_d: jax.Array  # int32 SA positions of blob elements (padded)
 
 
 def _query_blob(layout: BlockLayout):
@@ -61,15 +89,18 @@ class JaxBackend:
         self.threads = threads
 
     def prepare_block(self, layout: BlockLayout) -> BlockContext:
-        sym_d = jnp.asarray(layout.sym)
+        padded = pad_symbols(layout.sym, bucket(len(layout.sym)))
+        sym_d = jnp.asarray(padded)
         sa_d = doubling.suffix_array_device(sym_d)
         sa = np.asarray(jax.device_get(sa_d))
         if native.available():
-            lcp = native.lcp_from_sa(layout.sym, sa, self.threads)
+            lcp = native.lcp_from_sa(padded, sa, self.threads)
         else:  # pragma: no cover - toolchain-less fallback
-            lcp = sa_numpy.lcp_array(layout.sym, sa)
+            lcp = sa_numpy.lcp_array(padded, sa)
         lcp_d = jnp.asarray(lcp.astype(np.int32))
 
+        # segment id per SA entry; padding positions land past the last
+        # segment and therefore never match any subject segment
         seg_start_d = jnp.asarray(layout.seg_start.astype(np.int64))
         segid_d = (
             jnp.searchsorted(seg_start_d, sa_d.astype(jnp.int64), side="right")
@@ -78,7 +109,9 @@ class JaxBackend:
 
         genomes, q_off, blob, qpos_all = _query_blob(layout)
         isa_d = matchstats_jax.inverse_sa_device(sa_d)
-        tq_d = isa_d[jnp.asarray(qpos_all.astype(np.int32))]
+        tq_pad = np.zeros(bucket(max(len(qpos_all), 1)), dtype=np.int32)
+        tq_pad[: len(qpos_all)] = qpos_all
+        tq_d = isa_d[jnp.asarray(tq_pad)]
         return BlockContext(
             layout=layout,
             q_genomes=genomes,
@@ -107,8 +140,9 @@ class JaxBackend:
         )
         ml_q, un_q, ps_q = matchstats_jax.gather_query_stats(ml, un, ps, ctx.tq_d)
         ml_h, un_h, ps_h = jax.device_get((ml_q, un_q, ps_q))
+        q_total = int(ctx.q_off[-1])
         return (
-            np.asarray(ml_h, dtype=np.int32),
-            np.asarray(un_h, dtype=bool),
-            np.asarray(ps_h, dtype=np.int32),
+            np.asarray(ml_h[:q_total], dtype=np.int32),
+            np.asarray(un_h[:q_total], dtype=bool),
+            np.asarray(ps_h[:q_total], dtype=np.int32),
         )

@@ -1,0 +1,105 @@
+"""Fully-traced device ESA pipeline: text → SA → LCP → matching statistics.
+
+Unlike the production single-chip path (which uses a Python round loop with
+early exit and the native host LCP), everything here stays inside one jit:
+
+* ``suffix_array_with_levels`` — fixed-round prefix doubling that also
+  returns the rank array of every width (1, 2, 4, ...),
+* ``lcp_from_levels`` — adjacent LCP by walking the rank levels top-down
+  (h += w whenever rank_w[a+h] == rank_w[b+h]); exact because padded texts
+  never let two suffixes tie past their true LCP,
+* ``esa_matchstats_step`` — the composed per-subject matching-statistics
+  step used by ``__graft_entry__.entry`` and the sharded multi-chip step.
+
+Memory: levels cost rounds × N × 4 bytes, so this path suits sharded
+per-device blocks and validation shapes; huge single-chip blocks use the
+host-LCP path in ``backend_jax`` instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import matchstats_jax
+from .doubling import _doubling_round, _initial_ranks, _sa_from_rank
+
+
+@functools.partial(jax.jit, static_argnames=("rounds",))
+def suffix_array_with_levels(sym: jax.Array, rounds: int):
+    """Returns (sa, levels) where levels[r] is the rank array of width 2^r,
+    r = 0..rounds.  Requires 2^rounds >= maximal LCP + 1 (guaranteed when
+    2^rounds >= len(sym))."""
+    length = int(sym.shape[0])
+    rank, _ = _initial_ranks(sym, length)
+    levels = [rank]
+    order = _sa_from_rank(rank, length)
+    k = 1
+    for _ in range(rounds):
+        rank, _, order = _doubling_round(rank, jnp.int32(min(k, length)), length)
+        levels.append(rank)
+        k *= 2
+    return order, jnp.stack(levels)
+
+
+@jax.jit
+def lcp_from_levels(sa: jax.Array, levels: jax.Array) -> jax.Array:
+    """Adjacent-LCP array from rank levels: lcp[t] = lcp(SA[t-1], SA[t]),
+    lcp[0] = 0.  One vectorized compare-and-advance per level."""
+    n = sa.shape[0]
+    nlev = levels.shape[0]
+    a = jnp.concatenate([sa[:1], sa[:-1]])  # previous suffix (a[0] unused)
+    b = sa
+    h = jnp.zeros(n, jnp.int32)
+    for r in range(nlev - 1, -1, -1):
+        w = jnp.int32(1 << r)
+        ai = a + h
+        bi = b + h
+        ok = (ai < n) & (bi < n)
+        ra = levels[r][jnp.minimum(ai, n - 1)]
+        rb = levels[r][jnp.minimum(bi, n - 1)]
+        h = jnp.where(ok & (ra == rb), h + w, h)
+    return h.at[0].set(0)
+
+
+@jax.jit
+def esa_matchstats_step(
+    sym: jax.Array,  # int32[N] padded joint text
+    seg_start: jax.Array,  # int64[nseg+1]
+    subj_seg: jax.Array,  # scalar int32
+    subj_start: jax.Array,  # scalar int32
+    tq: jax.Array,  # int32[QB] text positions of query blob (padded)
+    sa: jax.Array,
+    lcp: jax.Array,
+):
+    """Matching statistics for one subject given a prebuilt (sa, lcp)."""
+    segid = (
+        jnp.searchsorted(seg_start, sa.astype(jnp.int64), side="right") - 1
+    ).astype(jnp.int32)
+    ml, un, ps = matchstats_jax.match_stats_device(
+        sa, lcp, segid, subj_seg, subj_start
+    )
+    isa = matchstats_jax.inverse_sa_device(sa)
+    tq_sa = isa[tq]
+    return ml[tq_sa], un[tq_sa], ps[tq_sa]
+
+
+@functools.partial(jax.jit, static_argnames=("rounds",))
+def full_subject_step(
+    sym: jax.Array,
+    seg_start: jax.Array,
+    subj_seg: jax.Array,
+    subj_start: jax.Array,
+    tq: jax.Array,
+    rounds: int,
+):
+    """End-to-end: padded text → SA → LCP → per-query match statistics for
+    one subject.  Fully traced (no host round trips) — the single-chip
+    'forward step' of the engine."""
+    sa, levels = suffix_array_with_levels(sym, rounds)
+    lcp = lcp_from_levels(sa, levels)
+    return esa_matchstats_step(
+        sym, seg_start, subj_seg, subj_start, tq, sa, lcp
+    )

@@ -3,7 +3,12 @@ tests run without TPU hardware (SURVEY.md test strategy §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU JAX: the axon TPU sitecustomize pins jax_platforms to the TPU
+# whenever PALLAS_AXON_POOL_IPS is set, so clearing it is required — plain
+# JAX_PLATFORMS=cpu is not honored otherwise.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("ANDIX_MIN_BUCKET", "1024")  # small pads for test sizes
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
