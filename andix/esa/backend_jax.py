@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import native
-from . import doubling, matchstats_jax, sa_numpy
+from ..runtime import Model
+from . import doubling, matchstats_jax, rmq, sa_numpy
 from .joint import SEPARATOR_BASE, BlockLayout
 
 
@@ -65,6 +66,12 @@ class BlockContext:
     lcp_d: jax.Array
     segid_d: jax.Array
     tq_d: jax.Array  # int32 SA positions of blob elements (padded)
+    # device-replay handles (JAX backend only)
+    text_d: jax.Array | None = None  # int32 padded block text
+    isa_d: jax.Array | None = None
+    rm: "rmq.RangeMin | None" = None
+    q_start_d: jax.Array | None = None  # int32[Gp] text base per query lane
+    q_len_d: jax.Array | None = None  # int32[Gp] (0 = padding lane)
 
 
 def _query_blob(layout: BlockLayout):
@@ -85,8 +92,9 @@ def _query_blob(layout: BlockLayout):
 class JaxBackend:
     name = "jax"
 
-    def __init__(self, threads: int = 0):
+    def __init__(self, threads: int = 0, device_replay: bool = True):
         self.threads = threads
+        self.device_replay = device_replay
 
     def prepare_block(self, layout: BlockLayout) -> BlockContext:
         padded = pad_symbols(layout.sym, bucket(len(layout.sym)))
@@ -112,6 +120,15 @@ class JaxBackend:
         tq_pad = np.zeros(bucket(max(len(qpos_all), 1)), dtype=np.int32)
         tq_pad[: len(qpos_all)] = qpos_all
         tq_d = isa_d[jnp.asarray(tq_pad)]
+
+        # device-replay inputs: query lane table padded to a small bucket
+        gp = max(8, -(-len(genomes) // 8) * 8)
+        q_start = np.zeros(gp, dtype=np.int32)
+        q_len = np.zeros(gp, dtype=np.int32)
+        for k, g in enumerate(genomes):
+            qs, qe = layout.query_span(g)
+            q_start[k] = qs
+            q_len[k] = qe - qs
         return BlockContext(
             layout=layout,
             q_genomes=genomes,
@@ -121,6 +138,11 @@ class JaxBackend:
             lcp_d=lcp_d,
             segid_d=segid_d,
             tq_d=tq_d,
+            text_d=sym_d,
+            isa_d=isa_d,
+            rm=rmq.build(lcp_d),
+            q_start_d=jnp.asarray(q_start),
+            q_len_d=jnp.asarray(q_len),
         )
 
     def subject_stats(self, ctx: BlockContext, subject_genome: int):
@@ -146,3 +168,49 @@ class JaxBackend:
             np.asarray(un_h[:q_total], dtype=bool),
             np.asarray(ps_h[:q_total], dtype=np.int32),
         )
+
+    def subject_row_counts(
+        self, ctx: BlockContext, subject_genome: int, subject, model_kind
+    ) -> dict[int, "object"]:
+        """Full device path: matchstats + on-device replay; only the 16
+        substitution counts per pair are fetched."""
+        from ..chain.replay_device import replay_pairs_device
+        from ..model import CountMatrix
+
+        layout = ctx.layout
+        subj_seg = int(
+            np.nonzero(
+                (layout.genome_ids == subject_genome) & layout.is_subject
+            )[0][0]
+        )
+        subj_start = int(layout.seg_start[subj_seg])
+        ml, un, ps = matchstats_jax.match_stats_device(
+            ctx.sa_d,
+            ctx.lcp_d,
+            ctx.segid_d,
+            jnp.int32(subj_seg),
+            jnp.int32(subj_start),
+        )
+        exact = model_kind in (Model.LOGDET, Model.ANI)
+        counts = replay_pairs_device(
+            ctx.text_d,
+            ctx.isa_d,
+            ctx.rm,
+            ml,
+            un,
+            ps,
+            jnp.int32(subj_start),
+            jnp.int32(subject.len),
+            jnp.int32(subject.threshold),
+            ctx.q_start_d,
+            ctx.q_len_d,
+            exact,
+        )
+        counts_h = np.asarray(jax.device_get(counts), dtype=np.int64)
+        out = {}
+        for k, genome in enumerate(ctx.q_genomes):
+            if genome == subject_genome:
+                continue
+            seq_len = int(ctx.q_off[k + 1] - ctx.q_off[k])
+            out[genome] = CountMatrix(counts_h[k].copy(), seq_len)
+        return out

@@ -155,11 +155,17 @@ def calculate_matrix(
         layout = joint.build_block(subject_rs, query_seqs)
         bctx = backend.prepare_block(layout)
 
+        use_device_replay = getattr(backend, "device_replay", False)
         for i in block:
-            stats = backend.subject_stats(bctx, i)
-            row = _replay_subject(
-                bctx, stats, subjects[i], i, ctx.model, ctx.threads
-            )
+            if use_device_replay:
+                row = backend.subject_row_counts(
+                    bctx, i, subjects[i], ctx.model
+                )
+            else:
+                stats = backend.subject_stats(bctx, i)
+                row = _replay_subject(
+                    bctx, stats, subjects[i], i, ctx.model, ctx.threads
+                )
             for j, cm in row.items():
                 M[i][j] = cm
             if progress is not None:

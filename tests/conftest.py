@@ -3,9 +3,10 @@ tests run without TPU hardware (SURVEY.md test strategy §4)."""
 
 import os
 
-# Force CPU JAX: the axon TPU sitecustomize pins jax_platforms to the TPU
-# whenever PALLAS_AXON_POOL_IPS is set, so clearing it is required — plain
-# JAX_PLATFORMS=cpu is not honored otherwise.
+# Force CPU JAX with 8 virtual devices.  The axon TPU sitecustomize imports
+# jax at interpreter startup and pins jax_platforms to the tunneled TPU, so
+# env vars set here are too late — but backends initialize lazily, so
+# flipping the config before the first device use still works.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("ANDIX_MIN_BUCKET", "1024")  # small pads for test sizes
@@ -14,6 +15,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np
 import pytest

@@ -1,0 +1,93 @@
+"""Device replay vs host replay: identical counts on every path."""
+
+import numpy as np
+import pytest
+
+from andix import pipeline
+from andix.esa.backend_jax import JaxBackend
+from andix.runtime import Context, Model
+from andix.sequence import Seq
+
+
+def grid_counts(M, n):
+    return np.stack(
+        [[M[i][j].counts for j in range(n)] for i in range(n)]
+    )
+
+
+def run_both(seqs, ctx):
+    dev = pipeline.calculate_matrix(
+        seqs, ctx, JaxBackend(device_replay=True)
+    )
+    host = pipeline.calculate_matrix(
+        seqs, ctx, JaxBackend(device_replay=False)
+    )
+    n = len(seqs)
+    assert (grid_counts(dev, n) == grid_counts(host, n)).all()
+    return dev
+
+
+class TestDeviceReplay:
+    def test_mutated_family(self, rng, dna, mutator):
+        base = dna(rng, 800)
+        seqs = [Seq(base, "g0")] + [
+            Seq(mutator(rng, base, r), f"g{k+1}")
+            for k, r in enumerate([0.02, 0.05, 0.1, 0.25])
+        ]
+        run_both(seqs, Context())
+
+    def test_identical_pair(self, rng, dna):
+        s = dna(rng, 600)
+        run_both([Seq(s, "a"), Seq(s.copy(), "b")], Context())
+
+    def test_unrelated_pair(self, rng, dna):
+        run_both([Seq(dna(rng, 500), "a"), Seq(dna(rng, 400), "b")], Context())
+
+    @pytest.mark.parametrize("kind", [Model.LOGDET, Model.ANI])
+    def test_exact_count_models(self, rng, dna, mutator, kind):
+        base = dna(rng, 500)
+        seqs = [Seq(base, "a"), Seq(mutator(rng, base, 0.06), "b")]
+        run_both(seqs, Context(model=kind))
+
+    def test_contig_joined(self, rng, dna, mutator):
+        from andix.sequence import join
+
+        c1, c2 = dna(rng, 300), dna(rng, 250)
+        a = join([c1, c2])
+        b = join([mutator(rng, c1, 0.04), mutator(rng, c2, 0.04)])
+        run_both([Seq(a, "a"), Seq(b, "b")], Context())
+
+    def test_repetitive(self, rng):
+        rep = np.frombuffer(b"ACGTACGTAA" * 60, np.uint8).copy()
+        tail = np.frombuffer(b"GGCCTTAAGC" * 30, np.uint8).copy()
+        s1 = np.concatenate([rep, tail])
+        s2 = np.concatenate([rep[7:], tail])
+        run_both([Seq(s1, "a"), Seq(s2, "b")], Context())
+
+    def test_blocked_schedule(self, rng, dna, mutator):
+        base = dna(rng, 400)
+        seqs = [Seq(base, "g0")] + [
+            Seq(mutator(rng, base, 0.05), f"g{k+1}") for k in range(3)
+        ]
+        ctx = Context()
+        one = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        blk = pipeline.calculate_matrix(
+            seqs, ctx, JaxBackend(), block_syms=2200
+        )
+        n = len(seqs)
+        assert (grid_counts(one, n) == grid_counts(blk, n)).all()
+
+    def test_many_seeds_vs_numpy_backend(self, dna, mutator):
+        # fuzz: several seeds, compare full grids against the numpy backend
+        for seed in range(5):
+            rng = np.random.default_rng(1000 + seed)
+            base = dna(rng, 300)
+            seqs = [
+                Seq(base, "g0"),
+                Seq(mutator(rng, base, 0.08), "g1"),
+                Seq(mutator(rng, base, 0.18), "g2"),
+            ]
+            ctx = Context()
+            dev = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+            ref = pipeline.calculate_matrix(seqs, ctx, pipeline.NumpyBackend())
+            assert (grid_counts(dev, 3) == grid_counts(ref, 3)).all(), seed
