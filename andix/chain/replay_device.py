@@ -92,8 +92,7 @@ def _equal_counts_split(length):
     return (length // 4) * _DIAG + (length & 3) * _TTTT
 
 
-@functools.partial(jax.jit, static_argnames=("exact_counts",))
-def replay_pairs_device(
+def _replay_impl(
     text: jax.Array,  # int32[Np] padded block text
     isa: jax.Array,  # int32[Np]
     rm: rmq.RangeMin,  # over the adjacent-LCP array
@@ -103,10 +102,10 @@ def replay_pairs_device(
     subj_start: jax.Array,  # scalar: text base of RS_i
     rs_len: jax.Array,  # scalar
     threshold: jax.Array,  # scalar
-    q_start: jax.Array,  # int32[G] text base of each query
-    q_len: jax.Array,  # int32[G] (0 = padding lane)
     exact_counts: bool,
-) -> jax.Array:  # int32[G, 16]
+):
+    """Returns one_query(qs, qlen) -> int32[16] for this subject (to be
+    vmapped over query lanes by the callers below)."""
     border = rs_len // 2
 
     def lce(a_text, b_text):
@@ -199,4 +198,48 @@ def replay_pairs_device(
         )
         return counts
 
-    return jax.vmap(one_query)(q_start, q_len)
+    return one_query
+
+
+@functools.partial(jax.jit, static_argnames=("exact_counts",))
+def replay_pairs_device(
+    text, isa, rm, ml_sa, un_sa, ps_sa, subj_start, rs_len, threshold,
+    q_start, q_len, exact_counts: bool,
+):
+    """One subject vs all query lanes; returns int32[G, 16]."""
+    fn = _replay_impl(
+        text, isa, rm, ml_sa, un_sa, ps_sa, subj_start, rs_len, threshold,
+        exact_counts,
+    )
+    return jax.vmap(fn)(q_start, q_len)
+
+
+@functools.partial(jax.jit, static_argnames=("exact_counts",))
+def replay_rows_device(
+    text,  # int32[Np]
+    isa,
+    rm,
+    ml_sa,  # int32[Sg, Np] stats per grouped subject
+    un_sa,  # bool[Sg, Np]
+    ps_sa,  # int32[Sg, Np]
+    subj_start,  # int32[Sg]
+    rs_len,  # int32[Sg]
+    threshold,  # int32[Sg]
+    q_start,  # int32[G]
+    q_len2d,  # int32[Sg, G] (0 disables a lane, e.g. dummy subjects)
+    exact_counts: bool,
+):
+    """Grouped replay: all (subject, query) lanes of a subject group advance
+    in one lock-step while_loop — the per-iteration dispatch cost is paid
+    once for the whole group instead of once per subject (the measured
+    bottleneck on tunneled devices)."""
+
+    def per_subject(ml, un, ps, ss, rl, th, qlen_row):
+        fn = _replay_impl(
+            text, isa, rm, ml, un, ps, ss, rl, th, exact_counts
+        )
+        return jax.vmap(fn)(q_start, qlen_row)
+
+    return jax.vmap(per_subject)(
+        ml_sa, un_sa, ps_sa, subj_start, rs_len, threshold, q_len2d
+    )

@@ -89,23 +89,83 @@ def _query_blob(layout: BlockLayout):
     return genomes, q_off, blob, qpos_all
 
 
+import functools
+
+
+@jax.jit
+def _build_device_text(u8: jax.Array, sep_pos: jax.Array, sep_val: jax.Array,
+                       n_real: jax.Array) -> jax.Array:
+    """Reconstruct the int32 joint text on device from uint8 bytes (4x less
+    H2D traffic): separator symbols (>= 256) are scattered in, padding
+    positions get strictly increasing oversized symbols."""
+    npad = u8.shape[0]
+    sym = u8.astype(jnp.int32)
+    sym = sym.at[sep_pos].set(sep_val)
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    pad_base = jnp.int32(1 << 20)
+    return jnp.where(iota >= n_real, pad_base + iota, sym)
+
+
+_DEVICE_LCP_MAX = int(
+    __import__("os").environ.get("ANDIX_DEVICE_LCP_MAX", 64 * 1024 * 1024)
+)
+
+
 class JaxBackend:
     name = "jax"
 
-    def __init__(self, threads: int = 0, device_replay: bool = True):
+    def __init__(self, threads: int = 0, device_replay: bool = True,
+                 device_lcp: bool | None = None):
         self.threads = threads
         self.device_replay = device_replay
+        self.device_lcp = device_lcp  # None = auto by block size
 
     def prepare_block(self, layout: BlockLayout) -> BlockContext:
-        padded = pad_symbols(layout.sym, bucket(len(layout.sym)))
-        sym_d = jnp.asarray(padded)
-        sa_d = doubling.suffix_array_device(sym_d)
-        sa = np.asarray(jax.device_get(sa_d))
-        if native.available():
-            lcp = native.lcp_from_sa(padded, sa, self.threads)
-        else:  # pragma: no cover - toolchain-less fallback
-            lcp = sa_numpy.lcp_array(padded, sa)
-        lcp_d = jnp.asarray(lcp.astype(np.int32))
+        n_real = len(layout.sym)
+        padded_n = bucket(n_real)
+
+        # ship the text as bytes; separators/padding reconstructed on device
+        u8 = np.zeros(padded_n, dtype=np.uint8)
+        u8[:n_real] = np.minimum(layout.sym, 255).astype(np.uint8)
+        nseg = len(layout.genome_ids)
+        sep_cap = max(16, -(-nseg // 16) * 16)
+        sep_pos = np.zeros(sep_cap, dtype=np.int32)
+        sep_val = np.zeros(sep_cap, dtype=np.int32)
+        ends = layout.seg_start[1:].astype(np.int64) - 1
+        sep_pos[:nseg] = ends
+        sep_val[:nseg] = 256 + np.arange(nseg)
+        if nseg:
+            sep_pos[nseg:] = ends[-1]
+            sep_val[nseg:] = 256 + nseg - 1
+        sym_d = _build_device_text(
+            jnp.asarray(u8), jnp.asarray(sep_pos), jnp.asarray(sep_val),
+            jnp.int32(n_real),
+        )
+
+        use_device_lcp = (
+            self.device_lcp
+            if self.device_lcp is not None
+            else padded_n <= _DEVICE_LCP_MAX
+        )
+        if use_device_lcp:
+            from . import device_pipeline
+
+            sa_d, levels = doubling.suffix_array_device_collect(sym_d)
+            lcp_d = device_pipeline.lcp_from_levels(sa_d, jnp.stack(levels))
+            del levels
+        else:
+            sa_d = doubling.suffix_array_device(sym_d)
+            sa = np.asarray(jax.device_get(sa_d))
+            # host-side reconstruction of the padded text for the native LCP;
+            # pad_symbols and _build_device_text may differ in the exact pad
+            # values but both are strictly increasing and oversized, and LCPs
+            # never extend into them
+            padded = pad_symbols(layout.sym, padded_n)
+            if native.available():
+                lcp = native.lcp_from_sa(padded, sa, self.threads)
+            else:  # pragma: no cover - toolchain-less fallback
+                lcp = sa_numpy.lcp_array(padded, sa)
+            lcp_d = jnp.asarray(lcp.astype(np.int32))
 
         # segment id per SA entry; padding positions land past the last
         # segment and therefore never match any subject segment
@@ -169,48 +229,101 @@ class JaxBackend:
             np.asarray(ps_h[:q_total], dtype=np.int32),
         )
 
-    def subject_row_counts(
-        self, ctx: BlockContext, subject_genome: int, subject, model_kind
-    ) -> dict[int, "object"]:
-        """Full device path: matchstats + on-device replay; only the 16
-        substitution counts per pair are fetched."""
-        from ..chain.replay_device import replay_pairs_device
-        from ..model import CountMatrix
-
-        layout = ctx.layout
+    def _subject_seg(self, layout: BlockLayout, subject_genome: int):
         subj_seg = int(
             np.nonzero(
                 (layout.genome_ids == subject_genome) & layout.is_subject
             )[0][0]
         )
-        subj_start = int(layout.seg_start[subj_seg])
-        ml, un, ps = matchstats_jax.match_stats_device(
-            ctx.sa_d,
-            ctx.lcp_d,
-            ctx.segid_d,
-            jnp.int32(subj_seg),
-            jnp.int32(subj_start),
+        return subj_seg, int(layout.seg_start[subj_seg])
+
+    def subject_row_counts(
+        self, ctx: BlockContext, subject_genome: int, subject, model_kind
+    ) -> dict[int, "object"]:
+        """Single-subject device path (matchstats + on-device replay)."""
+        return self.subject_group_counts(
+            ctx, [subject_genome], {subject_genome: subject}, model_kind
+        )[subject_genome]
+
+    def subject_group_counts(
+        self,
+        ctx: BlockContext,
+        subject_genomes: list[int],
+        subjects: dict[int, "object"],
+        model_kind,
+    ) -> dict[int, dict[int, "object"]]:
+        """Grouped device path: matchstats per subject, then ONE lock-step
+        replay over every (subject, query) lane of the group — the
+        per-iteration while_loop cost amortizes across the group.  Only the
+        16 counts per pair are fetched."""
+        from ..chain.replay_device import replay_rows_device
+        from ..model import CountMatrix
+
+        layout = ctx.layout
+        group = int(
+            __import__("os").environ.get("ANDIX_REPLAY_GROUP", "8")
         )
+        sg = max(group, len(subject_genomes))
+        npad = ctx.sa_d.shape[0]
+        gp = ctx.q_start_d.shape[0]
+
+        ml_rows = []
+        un_rows = []
+        ps_rows = []
+        starts = np.zeros(sg, dtype=np.int32)
+        rs_lens = np.ones(sg, dtype=np.int32)
+        thresholds = np.full(sg, 2**30, dtype=np.int32)
+        q_len2d = np.zeros((sg, gp), dtype=np.int32)
+        q_len_row = np.asarray(jax.device_get(ctx.q_len_d), dtype=np.int32)
+
+        for k, genome in enumerate(subject_genomes):
+            subj_seg, subj_start = self._subject_seg(layout, genome)
+            ml, un, ps = matchstats_jax.match_stats_device(
+                ctx.sa_d,
+                ctx.lcp_d,
+                ctx.segid_d,
+                jnp.int32(subj_seg),
+                jnp.int32(subj_start),
+            )
+            ml_rows.append(ml)
+            un_rows.append(un)
+            ps_rows.append(ps)
+            starts[k] = subj_start
+            rs_lens[k] = subjects[genome].len
+            thresholds[k] = subjects[genome].threshold
+            q_len2d[k] = q_len_row
+
+        zero_i = jnp.zeros(npad, jnp.int32)
+        zero_b = jnp.zeros(npad, bool)
+        while len(ml_rows) < sg:
+            ml_rows.append(zero_i)
+            un_rows.append(zero_b)
+            ps_rows.append(zero_i)
+
         exact = model_kind in (Model.LOGDET, Model.ANI)
-        counts = replay_pairs_device(
+        counts = replay_rows_device(
             ctx.text_d,
             ctx.isa_d,
             ctx.rm,
-            ml,
-            un,
-            ps,
-            jnp.int32(subj_start),
-            jnp.int32(subject.len),
-            jnp.int32(subject.threshold),
+            jnp.stack(ml_rows),
+            jnp.stack(un_rows),
+            jnp.stack(ps_rows),
+            jnp.asarray(starts),
+            jnp.asarray(rs_lens),
+            jnp.asarray(thresholds),
             ctx.q_start_d,
-            ctx.q_len_d,
+            jnp.asarray(q_len2d),
             exact,
         )
         counts_h = np.asarray(jax.device_get(counts), dtype=np.int64)
-        out = {}
-        for k, genome in enumerate(ctx.q_genomes):
-            if genome == subject_genome:
-                continue
-            seq_len = int(ctx.q_off[k + 1] - ctx.q_off[k])
-            out[genome] = CountMatrix(counts_h[k].copy(), seq_len)
+
+        out: dict[int, dict[int, CountMatrix]] = {}
+        for k, genome in enumerate(subject_genomes):
+            row = {}
+            for g, qgenome in enumerate(ctx.q_genomes):
+                if qgenome == genome:
+                    continue
+                seq_len = int(ctx.q_off[g + 1] - ctx.q_off[g])
+                row[qgenome] = CountMatrix(counts_h[k, g].copy(), seq_len)
+            out[genome] = row
         return out

@@ -83,6 +83,30 @@ def suffix_array_device(sym: jax.Array) -> jax.Array:
         k *= 2
 
 
+def suffix_array_device_collect(sym: jax.Array):
+    """Like ``suffix_array_device`` but also returns the rank array of every
+    width as a list [width 1, 2, 4, ...] for the level-walk LCP
+    (``device_pipeline.lcp_from_levels``).  Early exit still applies — the
+    level list stops once ranks are distinct, which bounds both rounds and
+    level memory by the data's actual repeat structure."""
+    length = int(sym.shape[0])
+    if length == 0:
+        return jnp.zeros(0, jnp.int32), [jnp.zeros(0, jnp.int32)]
+    rank, max_rank = _initial_ranks(sym, length)
+    levels = [rank]
+    if int(max_rank) == length - 1:
+        return _sa_from_rank(rank, length), levels
+    k = 1
+    while True:
+        rank, max_rank, order = _doubling_round(
+            rank, jnp.int32(min(k, length)), length
+        )
+        levels.append(rank)
+        if int(max_rank) == length - 1 or k >= length:
+            return order, levels
+        k *= 2
+
+
 def suffix_array(sym: np.ndarray) -> np.ndarray:
     """NumPy in / NumPy out wrapper."""
     sym_d = jnp.asarray(np.ascontiguousarray(sym, dtype=np.int32))

@@ -16,6 +16,8 @@ different schedule with bit-identical output, as the reference requires
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import chain, native
@@ -155,20 +157,27 @@ def calculate_matrix(
         layout = joint.build_block(subject_rs, query_seqs)
         bctx = backend.prepare_block(layout)
 
-        use_device_replay = getattr(backend, "device_replay", False)
-        for i in block:
-            if use_device_replay:
-                row = backend.subject_row_counts(
-                    bctx, i, subjects[i], ctx.model
+        if getattr(backend, "device_replay", False):
+            group = int(os.environ.get("ANDIX_REPLAY_GROUP", "8"))
+            for gs in range(0, len(block), group):
+                gset = block[gs : gs + group]
+                rows = backend.subject_group_counts(
+                    bctx, gset, {i: subjects[i] for i in gset}, ctx.model
                 )
-            else:
+                for i in gset:
+                    for j, cm in rows[i].items():
+                        M[i][j] = cm
+                    if progress is not None:
+                        progress.advance(n - 1)
+        else:
+            for i in block:
                 stats = backend.subject_stats(bctx, i)
                 row = _replay_subject(
                     bctx, stats, subjects[i], i, ctx.model, ctx.threads
                 )
-            for j, cm in row.items():
-                M[i][j] = cm
-            if progress is not None:
-                progress.advance(n - 1)
+                for j, cm in row.items():
+                    M[i][j] = cm
+                if progress is not None:
+                    progress.advance(n - 1)
 
     return M

@@ -55,11 +55,15 @@ def run_ref(exe, args, cwd):
 
 
 def run_andix(args, cwd):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "ANDIX_MIN_BUCKET": "1024",
+           "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))}
+    # must be removed before interpreter start or the axon sitecustomize
+    # pins the tunneled TPU platform
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, "-m", "andix.cli", "--progress=never"] + args,
-        capture_output=True, text=True, cwd=cwd,
-        env={**os.environ, "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))},
+        capture_output=True, text=True, cwd=cwd, env=env,
     )
 
 
