@@ -44,6 +44,48 @@ def _nucl2bit(c):
     return c >> 1
 
 
+UNIQ_BIT = jnp.int32(1 << 30)
+
+
+@functools.partial(jax.jit, static_argnames=("jump_passes",))
+def prepare_subject_tables(
+    ml_sa: jax.Array,  # int32[Np] SA-order match lengths
+    un_sa: jax.Array,  # bool[Np]
+    ps_sa: jax.Array,  # int32[Np]
+    tq: jax.Array,  # int32[QB] SA slots of the query blob entries
+    threshold: jax.Array,  # scalar
+    jump_passes: int,
+):
+    """Blob-ordered packed stats + anchor-candidate jump table.
+
+    Arrays are indexed by *query-blob* position (all genomes' query
+    positions back to back — half the size of the text and the only
+    positions the replay ever probes).  ``mlun[v]`` packs the match length
+    with the uniqueness flag (bit 30) — one gather per probe instead of
+    three.  ``jump[v]`` resolves the pure ``pos += len + 1`` probe chain
+    (valid whenever the gap to the last anchor exceeds the threshold, which
+    disables lucky anchors) to the first anchor *candidate* (unique & len >=
+    threshold) by pointer doubling — the replay crosses anchor-free
+    stretches in one step with identical semantics (intermediate probes
+    have no side effects; a chain crossing a genome boundary lands past the
+    lane's span and simply terminates the lane).  Partial resolution after
+    ``jump_passes`` is still correct: the replay just jumps again."""
+    qb = tq.shape[0]
+    ml_b = ml_sa[tq]
+    un_b = un_sa[tq]
+    ps_b = ps_sa[tq]
+    mlun = ml_b | jnp.where(un_b, UNIQ_BIT, 0)
+
+    v = jnp.arange(qb, dtype=jnp.int32)
+    cand = un_b & (ml_b >= threshold)
+    nxt = jnp.minimum(v + ml_b + 1, jnp.int32(qb - 1))
+    jump = jnp.where(cand, v, nxt)
+    for _ in range(jump_passes):
+        stop = cand[jump] | (jump >= qb - 1)
+        jump = jnp.where(stop, jump, jump[jump])
+    return mlun, ps_b, jump
+
+
 def _hist16(idx, ok):
     onehot = (idx[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]) & ok[:, None]
     return onehot.sum(axis=0, dtype=jnp.int32)
@@ -96,16 +138,17 @@ def _replay_impl(
     text: jax.Array,  # int32[Np] padded block text
     isa: jax.Array,  # int32[Np]
     rm: rmq.RangeMin,  # over the adjacent-LCP array
-    ml_sa: jax.Array,  # int32[Np] per-SA-entry match stats for this subject
-    un_sa: jax.Array,  # bool[Np]
-    ps_sa: jax.Array,  # int32[Np]
+    mlun_b: jax.Array,  # int32[QB] blob-order packed matchlen | unique<<30
+    ps_b: jax.Array,  # int32[QB] blob-order subject positions
+    jump_b: jax.Array,  # int32[QB] anchor-candidate jump table (blob coords)
     subj_start: jax.Array,  # scalar: text base of RS_i
     rs_len: jax.Array,  # scalar
     threshold: jax.Array,  # scalar
     exact_counts: bool,
 ):
-    """Returns one_query(qs, qlen) -> int32[16] for this subject (to be
-    vmapped over query lanes by the callers below)."""
+    """Returns one_query(qbase, qs, qlen) -> int32[16] for this subject
+    (to be vmapped over query lanes by the callers below); ``qbase`` is the
+    lane's blob offset, ``qs`` its text offset."""
     border = rs_len // 2
 
     def lce(a_text, b_text):
@@ -120,32 +163,46 @@ def _replay_impl(
             return _equal_counts_exact(text, q_base_text, length)
         return _equal_counts_split(length)
 
-    def one_query(qs, qlen):
+    def one_query(qbase, qs, qlen):
         def cond(state):
             pos_q = state[0]
             return pos_q < qlen
 
         def body(state):
-            pos_q, last_q, last_s, last_len, last_right, counts = state
+            pos_q0, last_q, last_s, last_len, last_right, counts = state
+
+            # while the gap exceeds the threshold no lucky anchor can fire
+            # (the gap grows monotonically along the probe chain), so the
+            # chain to the next anchor candidate is precomputed: jump there.
+            gap0 = pos_q0 - last_q - last_len
+            pos_q = jnp.where(
+                gap0 > threshold, jump_b[qbase + pos_q0] - qbase, pos_q0
+            )
+            in_range = pos_q < qlen
+            probe_b = qbase + jnp.where(in_range, pos_q, 0)
+            probe_t = qs + jnp.where(in_range, pos_q, 0)
 
             # lucky anchor (src/process.c:82-100)
             advance = pos_q - last_q
             gap = advance - last_len
             try_s = last_s + advance
-            lucky_pre = (try_s < rs_len) & (gap >= 0) & (gap <= threshold)
+            lucky_pre = (
+                in_range & (try_s < rs_len) & (gap >= 0) & (gap <= threshold)
+            )
             lucky_len = jnp.where(
                 lucky_pre,
-                lce(qs + pos_q, subj_start + jnp.where(lucky_pre, try_s, 0)),
+                lce(probe_t, subj_start + jnp.where(lucky_pre, try_s, 0)),
                 0,
             )
             lucky_found = lucky_pre & (lucky_len >= threshold)
 
             # full-search anchor via precomputed stats (src/process.c:113-123)
-            t = isa[qs + pos_q]
-            aml = ml_sa[t]
-            found = lucky_found | (un_sa[t] & (aml >= threshold))
+            v = mlun_b[probe_b]
+            aml = v & (UNIQ_BIT - 1)
+            aun = (v & UNIQ_BIT) != 0
+            found = in_range & (lucky_found | (aun & (aml >= threshold)))
             this_len = jnp.where(lucky_found, lucky_len, aml)
-            this_s = jnp.where(lucky_found, try_s, ps_sa[t])
+            this_s = jnp.where(lucky_found, try_s, ps_b[probe_b])
 
             # diagonal pairing (src/process.c:160-189)
             end_s = last_s + last_len
@@ -202,30 +259,18 @@ def _replay_impl(
 
 
 @functools.partial(jax.jit, static_argnames=("exact_counts",))
-def replay_pairs_device(
-    text, isa, rm, ml_sa, un_sa, ps_sa, subj_start, rs_len, threshold,
-    q_start, q_len, exact_counts: bool,
-):
-    """One subject vs all query lanes; returns int32[G, 16]."""
-    fn = _replay_impl(
-        text, isa, rm, ml_sa, un_sa, ps_sa, subj_start, rs_len, threshold,
-        exact_counts,
-    )
-    return jax.vmap(fn)(q_start, q_len)
-
-
-@functools.partial(jax.jit, static_argnames=("exact_counts",))
 def replay_rows_device(
     text,  # int32[Np]
     isa,
     rm,
-    ml_sa,  # int32[Sg, Np] stats per grouped subject
-    un_sa,  # bool[Sg, Np]
-    ps_sa,  # int32[Sg, Np]
+    mlun_b,  # int32[Sg, QB] packed blob-order stats per grouped subject
+    ps_b,  # int32[Sg, QB]
+    jump_b,  # int32[Sg, QB]
     subj_start,  # int32[Sg]
     rs_len,  # int32[Sg]
     threshold,  # int32[Sg]
-    q_start,  # int32[G]
+    q_base,  # int32[G] blob offset of each query lane
+    q_start,  # int32[G] text offset of each query lane
     q_len2d,  # int32[Sg, G] (0 disables a lane, e.g. dummy subjects)
     exact_counts: bool,
 ):
@@ -234,12 +279,12 @@ def replay_rows_device(
     once for the whole group instead of once per subject (the measured
     bottleneck on tunneled devices)."""
 
-    def per_subject(ml, un, ps, ss, rl, th, qlen_row):
+    def per_subject(mlun, ps, jt, ss, rl, th, qlen_row):
         fn = _replay_impl(
-            text, isa, rm, ml, un, ps, ss, rl, th, exact_counts
+            text, isa, rm, mlun, ps, jt, ss, rl, th, exact_counts
         )
-        return jax.vmap(fn)(q_start, qlen_row)
+        return jax.vmap(fn)(q_base, q_start, qlen_row)
 
     return jax.vmap(per_subject)(
-        ml_sa, un_sa, ps_sa, subj_start, rs_len, threshold, q_len2d
+        mlun_b, ps_b, jump_b, subj_start, rs_len, threshold, q_len2d
     )

@@ -72,6 +72,7 @@ class BlockContext:
     rm: "rmq.RangeMin | None" = None
     q_start_d: jax.Array | None = None  # int32[Gp] text base per query lane
     q_len_d: jax.Array | None = None  # int32[Gp] (0 = padding lane)
+    q_base_d: jax.Array | None = None  # int32[Gp] blob base per query lane
 
 
 def _query_blob(layout: BlockLayout):
@@ -185,10 +186,12 @@ class JaxBackend:
         gp = max(8, -(-len(genomes) // 8) * 8)
         q_start = np.zeros(gp, dtype=np.int32)
         q_len = np.zeros(gp, dtype=np.int32)
+        q_base = np.zeros(gp, dtype=np.int32)
         for k, g in enumerate(genomes):
             qs, qe = layout.query_span(g)
             q_start[k] = qs
             q_len[k] = qe - qs
+            q_base[k] = q_off[k]
         return BlockContext(
             layout=layout,
             q_genomes=genomes,
@@ -203,6 +206,7 @@ class JaxBackend:
             rm=rmq.build(lcp_d),
             q_start_d=jnp.asarray(q_start),
             q_len_d=jnp.asarray(q_len),
+            q_base_d=jnp.asarray(q_base),
         )
 
     def subject_stats(self, ctx: BlockContext, subject_genome: int):
@@ -256,7 +260,10 @@ class JaxBackend:
         replay over every (subject, query) lane of the group — the
         per-iteration while_loop cost amortizes across the group.  Only the
         16 counts per pair are fetched."""
-        from ..chain.replay_device import replay_rows_device
+        from ..chain.replay_device import (
+            prepare_subject_tables,
+            replay_rows_device,
+        )
         from ..model import CountMatrix
 
         layout = ctx.layout
@@ -264,15 +271,18 @@ class JaxBackend:
             __import__("os").environ.get("ANDIX_REPLAY_GROUP", "8")
         )
         sg = max(group, len(subject_genomes))
-        npad = ctx.sa_d.shape[0]
+        qb = ctx.tq_d.shape[0]
         gp = ctx.q_start_d.shape[0]
+        # partial resolution is still correct (the replay just jumps again),
+        # so cap the doubling passes: 2^12 chain steps per jump
+        jump_passes = min(12, max(1, (qb - 1).bit_length()))
 
-        ml_rows = []
-        un_rows = []
+        mlun_rows = []
         ps_rows = []
+        jump_rows = []
         starts = np.zeros(sg, dtype=np.int32)
         rs_lens = np.ones(sg, dtype=np.int32)
-        thresholds = np.full(sg, 2**30, dtype=np.int32)
+        thresholds = np.full(sg, 2**29, dtype=np.int32)
         q_len2d = np.zeros((sg, gp), dtype=np.int32)
         q_len_row = np.asarray(jax.device_get(ctx.q_len_d), dtype=np.int32)
 
@@ -285,32 +295,37 @@ class JaxBackend:
                 jnp.int32(subj_seg),
                 jnp.int32(subj_start),
             )
-            ml_rows.append(ml)
-            un_rows.append(un)
-            ps_rows.append(ps)
+            mlun, ps_b, jump = prepare_subject_tables(
+                ml, un, ps, ctx.tq_d,
+                jnp.int32(subjects[genome].threshold), jump_passes,
+            )
+            mlun_rows.append(mlun)
+            ps_rows.append(ps_b)
+            jump_rows.append(jump)
             starts[k] = subj_start
             rs_lens[k] = subjects[genome].len
             thresholds[k] = subjects[genome].threshold
             q_len2d[k] = q_len_row
 
-        zero_i = jnp.zeros(npad, jnp.int32)
-        zero_b = jnp.zeros(npad, bool)
-        while len(ml_rows) < sg:
-            ml_rows.append(zero_i)
-            un_rows.append(zero_b)
+        zero_i = jnp.zeros(qb, jnp.int32)
+        full_j = jnp.full(qb, qb - 1, jnp.int32)
+        while len(mlun_rows) < sg:
+            mlun_rows.append(zero_i)
             ps_rows.append(zero_i)
+            jump_rows.append(full_j)
 
         exact = model_kind in (Model.LOGDET, Model.ANI)
         counts = replay_rows_device(
             ctx.text_d,
             ctx.isa_d,
             ctx.rm,
-            jnp.stack(ml_rows),
-            jnp.stack(un_rows),
+            jnp.stack(mlun_rows),
             jnp.stack(ps_rows),
+            jnp.stack(jump_rows),
             jnp.asarray(starts),
             jnp.asarray(rs_lens),
             jnp.asarray(thresholds),
+            ctx.q_base_d,
             ctx.q_start_d,
             jnp.asarray(q_len2d),
             exact,

@@ -130,6 +130,51 @@ def _replay_subject(
     return out
 
 
+def _process_block(
+    block: list[int],
+    seqs: list[Seq],
+    subjects: list[Subject],
+    ctx: Context,
+    backend,
+    M,
+    progress,
+    lock=None,
+) -> None:
+    n = len(seqs)
+    in_block = set(block)
+    subject_rs = {i: subjects[i].rs for i in block}
+    query_seqs = {j: seqs[j].data for j in range(n) if j not in in_block}
+    layout = joint.build_block(subject_rs, query_seqs)
+    bctx = backend.prepare_block(layout)
+
+    def publish(i, row):
+        for j, cm in row.items():
+            M[i][j] = cm
+        if progress is not None:
+            if lock is not None:
+                with lock:
+                    progress.advance(n - 1)
+            else:
+                progress.advance(n - 1)
+
+    if getattr(backend, "device_replay", False):
+        group = int(os.environ.get("ANDIX_REPLAY_GROUP", "8"))
+        for gs in range(0, len(block), group):
+            gset = block[gs : gs + group]
+            rows = backend.subject_group_counts(
+                bctx, gset, {i: subjects[i] for i in gset}, ctx.model
+            )
+            for i in gset:
+                publish(i, rows[i])
+    else:
+        for i in block:
+            stats = backend.subject_stats(bctx, i)
+            row = _replay_subject(
+                bctx, stats, subjects[i], i, ctx.model, ctx.threads
+            )
+            publish(i, row)
+
+
 def calculate_matrix(
     seqs: list[Seq],
     ctx: Context,
@@ -138,7 +183,12 @@ def calculate_matrix(
     progress: ProgressMeter | None = None,
 ) -> list[list[CountMatrix]]:
     """Fill the full n×n count-matrix grid (reference
-    ``calculate_distances`` compute phase, src/process.c:230-251)."""
+    ``calculate_distances`` compute phase, src/process.c:230-251).
+
+    With several accelerator devices and a device backend, subject blocks
+    are distributed across devices and run concurrently — the production
+    multi-chip layout (subject rows of the pair grid sharded across the
+    mesh, SURVEY.md §2.3)."""
     backend = backend or NumpyBackend(ctx.threads)
     block_syms = block_syms if block_syms is not None else ctx.block_syms
     n = len(seqs)
@@ -150,34 +200,43 @@ def calculate_matrix(
         diag.counts[0] = 9
         M[i][i] = diag
 
-    for block in make_blocks(subjects, block_syms, ctx.low_memory):
-        in_block = set(block)
-        subject_rs = {i: subjects[i].rs for i in block}
-        query_seqs = {j: seqs[j].data for j in range(n) if j not in in_block}
-        layout = joint.build_block(subject_rs, query_seqs)
-        bctx = backend.prepare_block(layout)
+    devices = []
+    if getattr(backend, "device_replay", False):
+        import jax
 
-        if getattr(backend, "device_replay", False):
-            group = int(os.environ.get("ANDIX_REPLAY_GROUP", "8"))
-            for gs in range(0, len(block), group):
-                gset = block[gs : gs + group]
-                rows = backend.subject_group_counts(
-                    bctx, gset, {i: subjects[i] for i in gset}, ctx.model
+        devices = jax.devices()
+
+    if len(devices) > 1 and not ctx.low_memory:
+        # size blocks so every device gets work
+        query_total = sum((s.len - 1) // 2 + 1 for s in subjects)
+        subj_total = sum(s.len + 1 for s in subjects)
+        per_dev = subj_total // len(devices) + max(
+            s.len + 1 for s in subjects
+        )
+        block_syms = min(block_syms, query_total + per_dev)
+
+    blocks = make_blocks(subjects, block_syms, ctx.low_memory)
+
+    if len(devices) > 1 and len(blocks) > 1:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        lock = threading.Lock()
+
+        def run(idx_block):
+            idx, block = idx_block
+            dev = devices[idx % len(devices)]
+            with jax.default_device(dev):
+                _process_block(
+                    block, seqs, subjects, ctx, backend, M, progress, lock
                 )
-                for i in gset:
-                    for j, cm in rows[i].items():
-                        M[i][j] = cm
-                    if progress is not None:
-                        progress.advance(n - 1)
-        else:
-            for i in block:
-                stats = backend.subject_stats(bctx, i)
-                row = _replay_subject(
-                    bctx, stats, subjects[i], i, ctx.model, ctx.threads
-                )
-                for j, cm in row.items():
-                    M[i][j] = cm
-                if progress is not None:
-                    progress.advance(n - 1)
+
+        with ThreadPoolExecutor(max_workers=len(devices)) as ex:
+            list(ex.map(run, enumerate(blocks)))
+    else:
+        for block in blocks:
+            _process_block(block, seqs, subjects, ctx, backend, M, progress)
 
     return M

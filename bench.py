@@ -56,10 +56,9 @@ def main() -> int:
         from andix.esa.backend_jax import JaxBackend
 
         backend = JaxBackend()
-        # warmup: tiny run populates the per-bucket compile cache without
-        # touching the timed buckets more than once
-        warm = make_family(2, 50_000, seed=1)
-        pipeline.calculate_matrix(warm, ctx, backend=backend)
+        # no warmup run: compiles hit the persistent XLA cache
+        # (ANDIX_JAX_CACHE); a warmup at a different size would only compile
+        # extra buckets
     else:
         backend = pipeline.NumpyBackend()
 
