@@ -130,6 +130,33 @@ def _replay_subject(
     return out
 
 
+def _query_chunks(
+    block: list[int], n: int, seqs: list[Seq], max_query_syms: int
+) -> list[list[int]]:
+    """Split the out-of-block query genomes into chunks bounded by
+    ``max_query_syms`` symbols — required once Σ query lengths no longer
+    fits one joint text (thousands-of-genomes runs).  One chunk for the
+    common case."""
+    out_of_block = [j for j in range(n) if j not in set(block)]
+    total = sum(seqs[j].len + 1 for j in out_of_block)
+    if total <= max_query_syms:
+        return [out_of_block]
+    chunks: list[list[int]] = []
+    cur: list[int] = []
+    cur_syms = 0
+    for j in out_of_block:
+        need = seqs[j].len + 1
+        if cur and cur_syms + need > max_query_syms:
+            chunks.append(cur)
+            cur = []
+            cur_syms = 0
+        cur.append(j)
+        cur_syms += need
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
 def _process_block(
     block: list[int],
     seqs: list[Seq],
@@ -139,40 +166,56 @@ def _process_block(
     M,
     progress,
     lock=None,
+    max_query_syms: int | None = None,
 ) -> None:
     n = len(seqs)
-    in_block = set(block)
-    subject_rs = {i: subjects[i].rs for i in block}
-    query_seqs = {j: seqs[j].data for j in range(n) if j not in in_block}
-    layout = joint.build_block(subject_rs, query_seqs)
-    bctx = backend.prepare_block(layout)
+    if max_query_syms is None:
+        max_query_syms = int(
+            os.environ.get("ANDIX_MAX_QUERY_SYMS", str(1 << 28))
+        )
 
-    def publish(i, row):
+    def publish(i, row, wanted):
+        done = 0
         for j, cm in row.items():
-            M[i][j] = cm
-        if progress is not None:
+            if j in wanted:
+                M[i][j] = cm
+                done += 1
+        if progress is not None and done:
             if lock is not None:
                 with lock:
-                    progress.advance(n - 1)
+                    progress.advance(done)
             else:
-                progress.advance(n - 1)
+                progress.advance(done)
 
-    if getattr(backend, "device_replay", False):
-        group = int(os.environ.get("ANDIX_REPLAY_GROUP", "8"))
-        for gs in range(0, len(block), group):
-            gset = block[gs : gs + group]
-            rows = backend.subject_group_counts(
-                bctx, gset, {i: subjects[i] for i in gset}, ctx.model
-            )
-            for i in gset:
-                publish(i, rows[i])
-    else:
-        for i in block:
-            stats = backend.subject_stats(bctx, i)
-            row = _replay_subject(
-                bctx, stats, subjects[i], i, ctx.model, ctx.threads
-            )
-            publish(i, row)
+    for chunk_idx, qchunk in enumerate(
+        _query_chunks(block, n, seqs, max_query_syms)
+    ):
+        subject_rs = {i: subjects[i].rs for i in block}
+        query_seqs = {j: seqs[j].data for j in qchunk}
+        layout = joint.build_block(subject_rs, query_seqs)
+        bctx = backend.prepare_block(layout)
+        # in-block queries ride along in every chunk (they live inside the
+        # RS strings); publish them only once
+        wanted = set(qchunk)
+        if chunk_idx == 0:
+            wanted |= set(block)
+
+        if getattr(backend, "device_replay", False):
+            group = int(os.environ.get("ANDIX_REPLAY_GROUP", "8"))
+            for gs in range(0, len(block), group):
+                gset = block[gs : gs + group]
+                rows = backend.subject_group_counts(
+                    bctx, gset, {i: subjects[i] for i in gset}, ctx.model
+                )
+                for i in gset:
+                    publish(i, rows[i], wanted - {i})
+        else:
+            for i in block:
+                stats = backend.subject_stats(bctx, i)
+                row = _replay_subject(
+                    bctx, stats, subjects[i], i, ctx.model, ctx.threads
+                )
+                publish(i, row, wanted - {i})
 
 
 def calculate_matrix(

@@ -79,3 +79,20 @@ class TestScheduleEquivalence:
         one = pipeline.calculate_matrix(seqs, Context())
         blocked = pipeline.calculate_matrix(seqs, Context(), block_syms=1200)
         assert _grid_equal(one, blocked, 5)
+
+
+class TestQueryChunking:
+    def test_query_chunks_identical_output(self, rng, dna, mutator, monkeypatch):
+        from andix.esa.backend_jax import JaxBackend
+
+        base = dna(rng, 400)
+        seqs = [Seq(base, "g0")] + [
+            Seq(mutator(rng, base, 0.05), f"g{k}") for k in range(1, 6)
+        ]
+        ctx = Context()
+        one = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        monkeypatch.setenv("ANDIX_MAX_QUERY_SYMS", "900")
+        chunked = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        chunked_np = pipeline.calculate_matrix(seqs, ctx, pipeline.NumpyBackend())
+        assert _grid_equal(one, chunked, 6)
+        assert _grid_equal(one, chunked_np, 6)
