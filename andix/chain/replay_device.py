@@ -71,13 +71,14 @@ def prepare_subject_tables(
     lane's span and simply terminates the lane).  Partial resolution after
     ``jump_passes`` is still correct: the replay just jumps again."""
     qb = tq.shape[0]
-    ml_b = ml_sa[tq]
-    un_b = un_sa[tq]
+    # pack in SA order first so the blob reorder is two gathers, not three
+    mlun_sa = ml_sa | jnp.where(un_sa, UNIQ_BIT, 0)
+    mlun = mlun_sa[tq]
     ps_b = ps_sa[tq]
-    mlun = ml_b | jnp.where(un_b, UNIQ_BIT, 0)
+    ml_b = mlun & (UNIQ_BIT - 1)
 
     v = jnp.arange(qb, dtype=jnp.int32)
-    cand = un_b & (ml_b >= threshold)
+    cand = ((mlun & UNIQ_BIT) != 0) & (ml_b >= threshold)
     nxt = jnp.minimum(v + ml_b + 1, jnp.int32(qb - 1))
     jump = jnp.where(cand, v, nxt)
     for _ in range(jump_passes):

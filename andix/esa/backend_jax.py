@@ -152,6 +152,11 @@ class JaxBackend:
             from . import device_pipeline
 
             sa_d, levels = doubling.suffix_array_device_collect(sym_d)
+            # bucket the level count so lcp_from_levels compiles once per
+            # (shape, bucket): padding rows repeat the top level, whose ranks
+            # are all distinct, so the walk never advances on them
+            while len(levels) % 4:
+                levels.append(levels[-1])
             lcp_d = device_pipeline.lcp_from_levels(sa_d, jnp.stack(levels))
             del levels
         else:
@@ -273,9 +278,12 @@ class JaxBackend:
         sg = max(group, len(subject_genomes))
         qb = ctx.tq_d.shape[0]
         gp = ctx.q_start_d.shape[0]
-        # partial resolution is still correct (the replay just jumps again),
-        # so cap the doubling passes: 2^12 chain steps per jump
-        jump_passes = min(12, max(1, (qb - 1).bit_length()))
+        # partial resolution is still correct (the replay just jumps again);
+        # each pass costs two full-size gathers, so keep it small
+        jump_passes = int(
+            __import__("os").environ.get("ANDIX_JUMP_PASSES", "3")
+        )
+        jump_passes = min(jump_passes, max(1, (qb - 1).bit_length()))
 
         mlun_rows = []
         ps_rows = []

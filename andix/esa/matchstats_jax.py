@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .scans import segmented_min_scan
+from .scans import flag_scan
 
 NEG1 = jnp.int32(-1)
 
@@ -28,37 +28,33 @@ def match_stats_device(
     subj_seg: jax.Array,  # scalar int32
     subj_start: jax.Array,  # scalar int32
 ):
-    n = sa.shape[0]
-    t = jnp.arange(n, dtype=jnp.int32)
+    """All fields come from two flag scans (contiguous passes) — no random
+    gathers; see ``scans.flag_scan``."""
     flag = segid == subj_seg
+    sa_rel = sa - subj_start  # payload: position within RS_i
 
-    # --- upward ---
-    last_i = jax.lax.cummax(jnp.where(flag, t, NEG1))
-    reset_up = jnp.concatenate([jnp.zeros(1, bool), flag[:-1]])
-    up = segmented_min_scan(lcp, reset_up)
-    cnt = jnp.cumsum(flag.astype(jnp.int32), dtype=jnp.int32)
-    has_up = last_i >= 0
-    u = jnp.where(has_up, up, NEG1)
-    li = jnp.maximum(last_i, 0)
-    pos_up = sa[li] - subj_start
-    gap_up = up[li]
-    has_up2 = has_up & (cnt[li] >= 2)
+    # --- upward: values lcp[t] = lcp(SA[t-1], SA[t]) ---
+    k_up, g_up, sa_up, suf_up = flag_scan(lcp, flag, sa_rel)
+    has_up = k_up >= 1
+    u = jnp.where(has_up, suf_up, NEG1)
+    pos_up = sa_up
+    gap_up = g_up
+    has_up2 = k_up >= 2
 
-    # --- downward ---
-    flag_r = flag[::-1]
-    acc_r = jax.lax.cummax(jnp.where(flag_r, t, NEG1))
-    rev = acc_r[::-1]
-    next_i = jnp.where(rev >= 0, jnp.int32(n - 1) - rev, NEG1)
+    # --- downward: values lcp[t+1], processed in reverse ---
     vals_down = jnp.concatenate([lcp[1:], jnp.full(1, jnp.int32(2**31 - 1))])
-    reset_down = jnp.concatenate([flag[1:], jnp.zeros(1, bool)])
-    down = segmented_min_scan(vals_down[::-1], reset_down[::-1])[::-1]
-    cnt_down = jnp.cumsum(flag_r.astype(jnp.int32), dtype=jnp.int32)[::-1]
-    has_down = next_i >= 0
-    d = jnp.where(has_down, down, NEG1)
-    ni = jnp.maximum(next_i, 0)
-    pos_down = sa[ni] - subj_start
-    gap_down = down[ni]
-    has_down2 = has_down & (cnt_down[ni] >= 2)
+    k_dn, g_dn, sa_dn, suf_dn = flag_scan(
+        vals_down[::-1], flag[::-1], sa_rel[::-1]
+    )
+    k_dn = k_dn[::-1]
+    g_dn = g_dn[::-1]
+    sa_dn = sa_dn[::-1]
+    suf_dn = suf_dn[::-1]
+    has_down = k_dn >= 1
+    d = jnp.where(has_down, suf_dn, NEG1)
+    pos_down = sa_dn
+    gap_down = g_dn
+    has_down2 = k_dn >= 2
 
     # --- combine ---
     l = jnp.maximum(u, d)

@@ -19,6 +19,94 @@ import jax.numpy as jnp
 INF32 = jnp.int32(2**31 - 1)
 
 
+def _fs_combine(a, b):
+    """Window-composition monoid for flag scans.
+
+    State fields (k, pre, g, sa, suf): number of flags (capped at 2), min of
+    values before the first flag, value-gap recorded at the last flag, sa
+    payload of the last flag, min of values after the last flag.  Identity:
+    (0, INF, INF, -1, INF)."""
+    k1, p1, g1, s1, f1 = a
+    k2, p2, g2, s2, f2 = b
+    k = jnp.minimum(k1 + k2, 2)
+    has1 = k1 > 0
+    has2 = k2 > 0
+    pre = jnp.where(has1, p1, jnp.minimum(p1, p2))
+    sa_ = jnp.where(has2, s2, s1)
+    bridge = jnp.minimum(f1, p2)
+    g = jnp.where(
+        has2,
+        jnp.where(k2 >= 2, g2, jnp.where(has1, bridge, INF32)),
+        g1,
+    )
+    suf = jnp.where(has2, f2, jnp.where(has1, bridge, INF32))
+    return (k, pre, g, sa_, suf)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def flag_scan(values: jax.Array, flags: jax.Array, sa_vals: jax.Array,
+              chunk: int = 1024):
+    """Inclusive scan of the flag-window monoid: per position returns
+
+    * ``k``   — number of flagged entries seen so far (capped at 2),
+    * ``g``   — min of values in (second-last flag, last flag] (the LCP
+      between the two nearest flagged suffixes),
+    * ``sa``  — payload (suffix position) of the last flagged entry,
+    * ``suf`` — min of values in (last flag, here] (the LCP to the nearest
+      flagged suffix).
+
+    Flagged elements contribute their value to the gap ending at them and
+    then reset the running min.  This carries everything the matching
+    statistics need in one contiguous pass — no random gathers.  Same
+    two-level evaluation as ``segmented_min_scan``."""
+    n = values.shape[0]
+    nb = -(-n // chunk)
+    pad = nb * chunk - n
+    v = jnp.concatenate([values.astype(jnp.int32), jnp.full(pad, INF32)])
+    fl = jnp.concatenate([flags.astype(bool), jnp.zeros(pad, dtype=bool)])
+    sv = jnp.concatenate(
+        [sa_vals.astype(jnp.int32), jnp.full(pad, jnp.int32(-1))]
+    )
+
+    def t2(x):
+        return x.reshape(nb, chunk).T  # (chunk, nb)
+
+    k_e = t2(fl.astype(jnp.int32))
+    pre_e = t2(v)
+    sa_e = t2(jnp.where(fl, sv, -1))
+    g_e = jnp.full((chunk, nb), INF32)
+    suf_e = jnp.full((chunk, nb), INF32)
+
+    def step(carry, x):
+        out = _fs_combine(carry, x)
+        return out, out
+
+    ident = (
+        jnp.zeros(nb, jnp.int32),
+        jnp.full(nb, INF32),
+        jnp.full(nb, INF32),
+        jnp.full(nb, jnp.int32(-1)),
+        jnp.full(nb, INF32),
+    )
+    final, states = jax.lax.scan(step, ident, (k_e, pre_e, g_e, sa_e, suf_e))
+
+    # exclusive chunk prefixes via associative scan over chunk summaries
+    inc = jax.lax.associative_scan(_fs_combine, final)
+    prefix = tuple(
+        jnp.concatenate([i0[None], x[:-1]])
+        for i0, x in zip(
+            (jnp.int32(0), INF32, INF32, jnp.int32(-1), INF32), inc
+        )
+    )
+    combined = _fs_combine(tuple(p[None, :] for p in prefix), states)
+
+    def back(x):
+        return x.T.reshape(-1)[:n]
+
+    k, _, g, sa_, suf = combined
+    return back(k), back(g), back(sa_), back(suf)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def segmented_min_scan(values: jax.Array, resets: jax.Array,
                        chunk: int = 1024) -> jax.Array:
