@@ -36,6 +36,7 @@ Options:
       --truncate-names Truncate names to ten characters
       --seed=INT       Seed the bootstrap RNG for reproducible output
       --backend=NAME   Compute backend: 'auto', 'jax', or 'numpy'; default: auto
+      --checkpoint=DIR Resume-able row-tile checkpoints in DIR
   -v, --verbose        Prints additional information
   -h, --help           Display this help and exit
       --version        Output version information and acknowledgments
@@ -94,6 +95,7 @@ def parse_args(argv: list[str], ctx: Context) -> tuple[list[str], int | None]:
                 "seed=",
                 "backend=",
                 "block-size=",
+                "checkpoint=",
             ],
         )
     except getopt.GetoptError as e:
@@ -183,6 +185,8 @@ def parse_args(argv: list[str], ctx: Context) -> tuple[list[str], int | None]:
             ctx.backend = arg
         elif opt == "--block-size":
             ctx.block_syms = int(arg)
+        elif opt == "--checkpoint":
+            ctx.checkpoint_dir = arg
 
     file_names.extend(args)
     return file_names, None

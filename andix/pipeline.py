@@ -157,6 +157,49 @@ def _query_chunks(
     return chunks
 
 
+class TileCheckpoint:
+    """Row-tile checkpoint/resume for long pod-scale runs (reference has
+    none — SURVEY.md §5).  One .npz per subject row holding the 16-cell
+    counts and seq_len of every pair in that row; rows found on disk are
+    served without recomputation.  Enable with ``--checkpoint DIR`` /
+    ``ANDIX_CHECKPOINT_DIR``."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, i: int) -> str:
+        return os.path.join(self.dir, f"row_{i}.npz")
+
+    def load_row(self, i: int, n: int):
+        path = self._path(i)
+        if not os.path.exists(path):
+            return None
+        try:
+            data = np.load(path)
+            counts = data["counts"]
+            seq_len = data["seq_len"]
+        except Exception:
+            return None
+        if counts.shape != (n, 16):
+            return None
+        return {
+            j: CountMatrix(counts[j].copy(), int(seq_len[j]))
+            for j in range(n)
+            if j != i
+        }
+
+    def save_row(self, i: int, n: int, row: dict[int, CountMatrix]) -> None:
+        counts = np.zeros((n, 16), dtype=np.int64)
+        seq_len = np.zeros(n, dtype=np.int64)
+        for j, cm in row.items():
+            counts[j] = cm.counts
+            seq_len[j] = cm.seq_len
+        tmp = self._path(i) + ".tmp.npz"
+        np.savez(tmp, counts=counts, seq_len=seq_len)
+        os.replace(tmp, self._path(i))
+
+
 def _process_block(
     block: list[int],
     seqs: list[Seq],
@@ -167,8 +210,10 @@ def _process_block(
     progress,
     lock=None,
     max_query_syms: int | None = None,
+    ckpt: "TileCheckpoint | None" = None,
 ) -> None:
     n = len(seqs)
+    row_acc: dict[int, dict[int, CountMatrix]] = {i: {} for i in block}
     if max_query_syms is None:
         max_query_syms = int(
             os.environ.get("ANDIX_MAX_QUERY_SYMS", str(1 << 28))
@@ -179,6 +224,7 @@ def _process_block(
         for j, cm in row.items():
             if j in wanted:
                 M[i][j] = cm
+                row_acc[i][j] = cm
                 done += 1
         if progress is not None and done:
             if lock is not None:
@@ -217,6 +263,10 @@ def _process_block(
                 )
                 publish(i, row, wanted - {i})
 
+    if ckpt is not None:
+        for i in block:
+            ckpt.save_row(i, n, row_acc[i])
+
 
 def calculate_matrix(
     seqs: list[Seq],
@@ -243,6 +293,25 @@ def calculate_matrix(
         diag.counts[0] = 9
         M[i][i] = diag
 
+    # tile-level resume: rows already on disk skip recomputation
+    ckpt_dir = ctx.checkpoint_dir or os.environ.get("ANDIX_CHECKPOINT_DIR")
+    ckpt = TileCheckpoint(ckpt_dir) if ckpt_dir else None
+    todo = list(range(n))
+    if ckpt is not None:
+        remaining = []
+        for i in todo:
+            row = ckpt.load_row(i, n)
+            if row is None:
+                remaining.append(i)
+            else:
+                for j, cm in row.items():
+                    M[i][j] = cm
+                if progress is not None:
+                    progress.advance(n - 1)
+        todo = remaining
+    if not todo:
+        return M
+
     devices = []
     if getattr(backend, "device_replay", False):
         import jax
@@ -252,13 +321,18 @@ def calculate_matrix(
     if len(devices) > 1 and not ctx.low_memory:
         # size blocks so every device gets work
         query_total = sum((s.len - 1) // 2 + 1 for s in subjects)
-        subj_total = sum(s.len + 1 for s in subjects)
+        subj_total = sum(subjects[i].len + 1 for i in todo)
         per_dev = subj_total // len(devices) + max(
-            s.len + 1 for s in subjects
+            subjects[i].len + 1 for i in todo
         )
         block_syms = min(block_syms, query_total + per_dev)
 
-    blocks = make_blocks(subjects, block_syms, ctx.low_memory)
+    blocks = [
+        [todo[k] for k in blk]
+        for blk in make_blocks(
+            [subjects[i] for i in todo], block_syms, ctx.low_memory
+        )
+    ]
 
     if len(devices) > 1 and len(blocks) > 1:
         import threading
@@ -273,13 +347,16 @@ def calculate_matrix(
             dev = devices[idx % len(devices)]
             with jax.default_device(dev):
                 _process_block(
-                    block, seqs, subjects, ctx, backend, M, progress, lock
+                    block, seqs, subjects, ctx, backend, M, progress, lock,
+                    ckpt=ckpt,
                 )
 
         with ThreadPoolExecutor(max_workers=len(devices)) as ex:
             list(ex.map(run, enumerate(blocks)))
     else:
         for block in blocks:
-            _process_block(block, seqs, subjects, ctx, backend, M, progress)
+            _process_block(
+                block, seqs, subjects, ctx, backend, M, progress, ckpt=ckpt
+            )
 
     return M

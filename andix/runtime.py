@@ -47,6 +47,7 @@ class Context:
     prog: str = "andix"
     backend: str = "auto"  # 'auto' | 'jax' | 'numpy'
     block_syms: int = 1 << 27  # max joint-text symbols per subject block
+    checkpoint_dir: str | None = None  # tile-level resume directory
 
     # mutable state, reference F_NON_ACGT / F_SOFT_ERROR / F_SHORT
     non_acgt: bool = False

@@ -96,3 +96,35 @@ class TestQueryChunking:
         chunked_np = pipeline.calculate_matrix(seqs, ctx, pipeline.NumpyBackend())
         assert _grid_equal(one, chunked, 6)
         assert _grid_equal(one, chunked_np, 6)
+
+
+class TestCheckpoint:
+    def test_resume_identical_and_skips_work(self, rng, dna, mutator, tmp_path):
+        seqs = make_family(rng, dna, mutator, 4, 300, 0.05)
+        ctx = Context(checkpoint_dir=str(tmp_path / "ck"))
+        first = pipeline.calculate_matrix(seqs, ctx)
+        # second run resumes entirely from tiles
+        calls = {"n": 0}
+        orig = pipeline._process_block
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        pipeline._process_block = counting
+        try:
+            second = pipeline.calculate_matrix(seqs, ctx)
+        finally:
+            pipeline._process_block = orig
+        assert calls["n"] == 0
+        assert _grid_equal(first, second, 4)
+
+    def test_partial_resume(self, rng, dna, mutator, tmp_path):
+        import os
+
+        seqs = make_family(rng, dna, mutator, 4, 300, 0.05)
+        ctx = Context(checkpoint_dir=str(tmp_path / "ck2"))
+        first = pipeline.calculate_matrix(seqs, ctx)
+        os.remove(tmp_path / "ck2" / "row_2.npz")
+        second = pipeline.calculate_matrix(seqs, ctx)
+        assert _grid_equal(first, second, 4)
