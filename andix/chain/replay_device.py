@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..esa import rmq
 
 A_BYTE = jnp.int32(65)
-CHUNK = 128
+COUNT_CHUNK = 256  # sites classified per loop iteration and lane
 
 # cell layout: index = (from << 2) | to, A=0 C=1 G=2 T=3 (src/model.h:14-32)
 _DIAG = jnp.zeros(16, jnp.int32).at[jnp.array([0, 5, 10, 15])].set(1)
@@ -87,46 +87,35 @@ def prepare_subject_tables(
     return mlun, ps_b, jump
 
 
+@functools.partial(jax.jit, static_argnames=("jump_passes",))
+def group_subject_tables(
+    sa: jax.Array,  # int32[Np]
+    lcp: jax.Array,  # int32[Np]
+    segid: jax.Array,  # int32[Np]
+    tq: jax.Array,  # int32[QB]
+    subj_segs: jax.Array,  # int32[Sg] (-1 padding rows yield all-zero stats)
+    subj_starts: jax.Array,  # int32[Sg]
+    thresholds: jax.Array,  # int32[Sg]
+    jump_passes: int,
+):
+    """Matching statistics + replay tables for a whole subject group in one
+    dispatch: vmap over subjects batches the flag scans and the jump-table
+    gathers (one program, Sg× wider arrays) instead of 2·Sg separate device
+    calls — the per-call overhead dominates on high-latency links."""
+    from ..esa import matchstats_jax
+
+    def one(seg, start, thr):
+        ml, un, ps = matchstats_jax.match_stats_device(
+            sa, lcp, segid, seg, start
+        )
+        return prepare_subject_tables(ml, un, ps, tq, thr, jump_passes)
+
+    return jax.vmap(one)(subj_segs, subj_starts, thresholds)
+
+
 def _hist16(idx, ok):
     onehot = (idx[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]) & ok[:, None]
     return onehot.sum(axis=0, dtype=jnp.int32)
-
-
-def _gap_counts(text, s_base, q_base, glen):
-    """Substitution histogram over the gap [0, glen): text[s_base+i] vs
-    text[q_base+i], skipping separator bytes (< 'A')."""
-    n = text.shape[0]
-    offs = jnp.arange(CHUNK, dtype=jnp.int32)
-
-    def chunk(k, acc):
-        o = k * CHUNK + offs
-        valid = o < glen
-        s = text[jnp.minimum(s_base + o, n - 1)]
-        q = text[jnp.minimum(q_base + o, n - 1)]
-        ok = valid & (s >= A_BYTE) & (q >= A_BYTE) & (s < 256) & (q < 256)
-        idx = (_nucl2bit(s) << 2) | _nucl2bit(q)
-        return acc + _hist16(idx, ok)
-
-    nchunks = (glen + CHUNK - 1) // CHUNK
-    return jax.lax.fori_loop(0, nchunks, chunk, jnp.zeros(16, jnp.int32))
-
-
-def _equal_counts_exact(text, base, length):
-    """Per-character anchor classification (model_count_equal exact path,
-    src/model.c:259-278): counts actual nucleotides, skipping ';!#'."""
-    n = text.shape[0]
-    offs = jnp.arange(CHUNK, dtype=jnp.int32)
-
-    def chunk(k, acc):
-        o = k * CHUNK + offs
-        valid = o < length
-        s = text[jnp.minimum(base + o, n - 1)]
-        ok = valid & (s >= A_BYTE) & (s < 256)
-        cell = _EQ_CELL[(s >> 1) & 3]
-        return acc + _hist16(cell, ok)
-
-    nchunks = (length + CHUNK - 1) // CHUNK
-    return jax.lax.fori_loop(0, nchunks, chunk, jnp.zeros(16, jnp.int32))
 
 
 def _equal_counts_split(length):
@@ -149,8 +138,18 @@ def _replay_impl(
 ):
     """Returns one_query(qbase, qs, qlen) -> int32[16] for this subject
     (to be vmapped over query lanes by the callers below); ``qbase`` is the
-    lane's blob offset, ``qs`` its text offset."""
+    lane's blob offset, ``qs`` its text offset.
+
+    The loop does *uniform work per iteration*: either one probe/chain step
+    or one COUNT_CHUNK-site slice of pending substitution/equal counting.
+    Counting intervals produced by a probe are queued (gap; plus two equal
+    slots in exact mode) and consumed by subsequent iterations.  Under vmap
+    this keeps all lanes busy every iteration — a lane with a long gap to
+    classify no longer stalls the whole group in a nested loop, and total
+    iterations per lane ≈ #probes + counted_sites/COUNT_CHUNK."""
     border = rs_len // 2
+    n = text.shape[0]
+    offs = jnp.arange(COUNT_CHUNK, dtype=jnp.int32)
 
     def lce(a_text, b_text):
         t1 = isa[a_text]
@@ -159,32 +158,81 @@ def _replay_impl(
         hi = jnp.maximum(t1, t2)
         return rmq.range_min(rm, lo, hi)
 
-    def equal_counts(q_base_text, length):
-        if exact_counts:
-            return _equal_counts_exact(text, q_base_text, length)
-        return _equal_counts_split(length)
+    def gap_chunk(s_base, q_base, clen):
+        """Substitution histogram over one chunk (model_count semantics,
+        src/model.c:309-337): classify text[s_base+i] vs text[q_base+i],
+        i < clen, skipping separator symbols."""
+        valid = offs < clen
+        s = text[jnp.minimum(s_base + offs, n - 1)]
+        q = text[jnp.minimum(q_base + offs, n - 1)]
+        ok = valid & (s >= A_BYTE) & (q >= A_BYTE) & (s < 256) & (q < 256)
+        idx = (_nucl2bit(s) << 2) | _nucl2bit(q)
+        return _hist16(idx, ok)
+
+    def eq_chunk(base, clen):
+        """Exact equal-anchor classification chunk (model_count_equal exact
+        path, src/model.c:259-278)."""
+        valid = offs < clen
+        s = text[jnp.minimum(base + offs, n - 1)]
+        ok = valid & (s >= A_BYTE) & (s < 256)
+        cell = _EQ_CELL[(s >> 1) & 3]
+        return _hist16(cell, ok)
 
     def one_query(qbase, qs, qlen):
+        # state: chain (pos_q, last_q, last_s, last_len, last_right, fin),
+        # gap-count cursor (gp_s, gp_q, gp_rem),
+        # exact mode adds two equal-count slots (eq0_p, eq0_rem, eq1_p,
+        # eq1_rem) — a probe can enqueue the previous anchor (count_last)
+        # and, when it also finishes the chain, the trailing anchor.
         def cond(state):
-            pos_q = state[0]
-            return pos_q < qlen
+            fin, gp_rem = state[5], state[8]
+            pending = gp_rem > 0
+            if exact_counts:
+                pending = pending | (state[10] > 0) | (state[12] > 0)
+            return (~fin) | pending
 
         def body(state):
-            pos_q0, last_q, last_s, last_len, last_right, counts = state
+            (pos_q, last_q, last_s, last_len, last_right, fin,
+             gp_s, gp_q, gp_rem) = state[:9]
+            if exact_counts:
+                eq0_p, eq0_rem, eq1_p, eq1_rem, counts = state[9:]
+                promote = (eq0_rem == 0) & (eq1_rem > 0)
+                eq0_p = jnp.where(promote, eq1_p, eq0_p)
+                eq0_rem = jnp.where(promote, eq1_rem, eq0_rem)
+                eq1_rem = jnp.where(promote, 0, eq1_rem)
+                busy_eq = eq0_rem > 0
+                ce = jnp.where(busy_eq, jnp.minimum(eq0_rem, COUNT_CHUNK), 0)
+                counts = counts + eq_chunk(eq0_p, ce)
+                eq0_p = eq0_p + ce
+                eq0_rem = eq0_rem - ce
+            else:
+                counts = state[9]
+                busy_eq = jnp.bool_(False)
+
+            busy_gp = gp_rem > 0
+            cg = jnp.where(busy_gp, jnp.minimum(gp_rem, COUNT_CHUNK), 0)
+            counts = counts + gap_chunk(gp_s, gp_q, cg)
+            gp_s = gp_s + cg
+            gp_q = gp_q + cg
+            gp_rem = gp_rem - cg
+
+            probe = (~fin) & (~busy_eq) & (~busy_gp)
 
             # while the gap exceeds the threshold no lucky anchor can fire
             # (the gap grows monotonically along the probe chain), so the
             # chain to the next anchor candidate is precomputed: jump there.
-            gap0 = pos_q0 - last_q - last_len
-            pos_q = jnp.where(
-                gap0 > threshold, jump_b[qbase + pos_q0] - qbase, pos_q0
+            gap0 = pos_q - last_q - last_len
+            safe_q = jnp.where(probe, pos_q, 0)  # probe => pos_q < qlen <= QB
+            pos_qj = jnp.where(
+                probe & (gap0 > threshold), jump_b[qbase + safe_q] - qbase,
+                pos_q,
             )
-            in_range = pos_q < qlen
-            probe_b = qbase + jnp.where(in_range, pos_q, 0)
-            probe_t = qs + jnp.where(in_range, pos_q, 0)
+            in_range = probe & (pos_qj < qlen)
+            probe_b = qbase + jnp.where(in_range, pos_qj, 0)
+            probe_t = qs + jnp.where(in_range, pos_qj, 0)
 
             # lucky anchor (src/process.c:82-100)
-            advance = pos_q - last_q
+            advance = pos_qj - last_q
             gap = advance - last_len
             try_s = last_s + advance
             lucky_pre = (
@@ -211,50 +259,64 @@ def _replay_impl(
             paired = (
                 found
                 & (this_s > end_s)
-                & (pos_q - end_q == this_s - end_s)
+                & (pos_qj - end_q == this_s - end_s)
                 & ((this_s < border) == (last_s < border))
             )
             count_last = paired | (
                 found & ~paired & (last_right | (last_len >= 2 * threshold))
             )
-            # zero-length guards keep the chunked loops free when not counting
-            counts = counts + equal_counts(
-                qs + last_q, jnp.where(count_last, last_len, 0)
-            ) * jnp.where(count_last, 1, 0)
-            counts = counts + _gap_counts(
-                text,
-                subj_start + end_s,
-                qs + end_q,
-                jnp.where(paired, pos_q - end_q, 0),
-            )
+            if exact_counts:
+                eq0_p = jnp.where(count_last, qs + last_q, eq0_p)
+                eq0_rem = jnp.where(count_last, last_len, eq0_rem)
+            else:
+                counts = counts + _equal_counts_split(last_len) * jnp.where(
+                    count_last, 1, 0
+                )
+            gp_s = jnp.where(paired, subj_start + end_s, gp_s)
+            gp_q = jnp.where(paired, qs + end_q, gp_q)
+            gp_rem = jnp.where(paired, pos_qj - end_q, gp_rem)
 
-            last_q = jnp.where(found, pos_q, last_q)
+            last_q = jnp.where(found, pos_qj, last_q)
             last_s = jnp.where(found, this_s, last_s)
             last_len = jnp.where(found, this_len, last_len)
             last_right = jnp.where(found, paired, last_right)
-            pos_q = pos_q + this_len + 1
-            return (pos_q, last_q, last_s, last_len, last_right, counts)
+            pos_q = jnp.where(probe, pos_qj + this_len + 1, pos_q)
 
-        init = (
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.bool_(False),
-            jnp.zeros(16, jnp.int32),
-        )
-        pos_q, last_q, last_s, last_len, last_right, counts = (
-            jax.lax.while_loop(cond, body, init)
-        )
+            # chain finished: identical-sequence and trailing-anchor cases
+            # (src/process.c:199-211), enqueued exactly once
+            done_now = probe & (pos_q >= qlen)
+            identical = last_len >= qlen
+            trail = (~identical) & (last_right | (last_len >= 2 * threshold))
+            if exact_counts:
+                fin_p = jnp.where(identical, qs, qs + last_q)
+                fin_rem = jnp.where(
+                    identical, qlen, jnp.where(trail, last_len, 0)
+                )
+                eq1_p = jnp.where(done_now, fin_p, eq1_p)
+                eq1_rem = jnp.where(done_now, fin_rem, eq1_rem)
+            else:
+                counts = counts + _equal_counts_split(qlen) * jnp.where(
+                    done_now & identical, 1, 0
+                )
+                counts = counts + _equal_counts_split(last_len) * jnp.where(
+                    done_now & trail, 1, 0
+                )
+            fin = fin | done_now
 
-        # identical-sequence and trailing-anchor cases (src/process.c:199-211)
-        identical = last_len >= qlen
-        trail = (~identical) & (last_right | (last_len >= 2 * threshold))
-        counts = counts + equal_counts(qs, jnp.where(identical, qlen, 0))
-        counts = counts + equal_counts(
-            qs + last_q, jnp.where(trail, last_len, 0)
-        )
-        return counts
+            out = (pos_q, last_q, last_s, last_len, last_right, fin,
+                   gp_s, gp_q, gp_rem)
+            if exact_counts:
+                return out + (eq0_p, eq0_rem, eq1_p, eq1_rem, counts)
+            return out + (counts,)
+
+        z = jnp.int32(0)
+        init = (z, z, z, z, jnp.bool_(False), qlen <= 0, z, z, z)
+        if exact_counts:
+            init = init + (z, z, z, z, jnp.zeros(16, jnp.int32))
+        else:
+            init = init + (jnp.zeros(16, jnp.int32),)
+        final = jax.lax.while_loop(cond, body, init)
+        return final[-1]
 
     return one_query
 

@@ -50,7 +50,10 @@ def pad_symbols(sym: np.ndarray, padded_n: int) -> np.ndarray:
     n = len(sym)
     if padded_n == n:
         return sym
-    pad_base = int(sym.max(initial=SEPARATOR_BASE)) + 1 if n else SEPARATOR_BASE
+    pad_base = max(
+        1 << 20,
+        (int(sym.max(initial=SEPARATOR_BASE)) + 1) if n else SEPARATOR_BASE,
+    )
     pad = pad_base + np.arange(padded_n - n, dtype=np.int32)
     return np.concatenate([sym, pad])
 
@@ -83,7 +86,7 @@ def _query_blob(layout: BlockLayout):
     qpos = []
     for k, (qs, qe) in enumerate(spans):
         q_off[k + 1] = q_off[k] + (qe - qs)
-        parts.append(layout.sym[qs:qe].astype(np.uint8))
+        parts.append(layout.u8[qs:qe])
         qpos.append(np.arange(qs, qe, dtype=np.int64))
     blob = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     qpos_all = np.concatenate(qpos) if qpos else np.zeros(0, np.int64)
@@ -122,12 +125,12 @@ class JaxBackend:
         self.device_lcp = device_lcp  # None = auto by block size
 
     def prepare_block(self, layout: BlockLayout) -> BlockContext:
-        n_real = len(layout.sym)
+        n_real = layout.n
         padded_n = bucket(n_real)
 
         # ship the text as bytes; separators/padding reconstructed on device
         u8 = np.zeros(padded_n, dtype=np.uint8)
-        u8[:n_real] = np.minimum(layout.sym, 255).astype(np.uint8)
+        u8[:n_real] = layout.u8
         nseg = len(layout.genome_ids)
         sep_cap = max(16, -(-nseg // 16) * 16)
         sep_pos = np.zeros(sep_cap, dtype=np.int32)
@@ -148,19 +151,27 @@ class JaxBackend:
             if self.device_lcp is not None
             else padded_n <= _DEVICE_LCP_MAX
         )
+        # packed initial ranks need separator values within the 10-bit
+        # clamp (doubling._initial_ranks contract): 256 + seg <= 1021
+        packed = nseg <= 700
         if use_device_lcp:
             from . import device_pipeline
 
-            sa_d, levels = doubling.suffix_array_device_collect(sym_d)
+            sa_d, levels = doubling.suffix_array_device_collect(
+                sym_d, packed=packed
+            )
             # bucket the level count so lcp_from_levels compiles once per
             # (shape, bucket): padding rows repeat the top level, whose ranks
             # are all distinct, so the walk never advances on them
             while len(levels) % 4:
                 levels.append(levels[-1])
-            lcp_d = device_pipeline.lcp_from_levels(sa_d, jnp.stack(levels))
+            lcp_d = device_pipeline.lcp_from_levels(
+                sa_d, jnp.stack(levels), sym_d,
+                base_width=doubling.BASE_WIDTH if packed else 1,
+            )
             del levels
         else:
-            sa_d = doubling.suffix_array_device(sym_d)
+            sa_d = doubling.suffix_array_device(sym_d, packed=packed)
             sa = np.asarray(jax.device_get(sa_d))
             # host-side reconstruction of the padded text for the native LCP;
             # pad_symbols and _build_device_text may differ in the exact pad
@@ -266,7 +277,7 @@ class JaxBackend:
         per-iteration while_loop cost amortizes across the group.  Only the
         16 counts per pair are fetched."""
         from ..chain.replay_device import (
-            prepare_subject_tables,
+            group_subject_tables,
             replay_rows_device,
         )
         from ..model import CountMatrix
@@ -285,51 +296,34 @@ class JaxBackend:
         )
         jump_passes = min(jump_passes, max(1, (qb - 1).bit_length()))
 
-        mlun_rows = []
-        ps_rows = []
-        jump_rows = []
+        segs = np.full(sg, -1, dtype=np.int32)
         starts = np.zeros(sg, dtype=np.int32)
         rs_lens = np.ones(sg, dtype=np.int32)
         thresholds = np.full(sg, 2**29, dtype=np.int32)
         q_len2d = np.zeros((sg, gp), dtype=np.int32)
         q_len_row = np.asarray(jax.device_get(ctx.q_len_d), dtype=np.int32)
-
         for k, genome in enumerate(subject_genomes):
             subj_seg, subj_start = self._subject_seg(layout, genome)
-            ml, un, ps = matchstats_jax.match_stats_device(
-                ctx.sa_d,
-                ctx.lcp_d,
-                ctx.segid_d,
-                jnp.int32(subj_seg),
-                jnp.int32(subj_start),
-            )
-            mlun, ps_b, jump = prepare_subject_tables(
-                ml, un, ps, ctx.tq_d,
-                jnp.int32(subjects[genome].threshold), jump_passes,
-            )
-            mlun_rows.append(mlun)
-            ps_rows.append(ps_b)
-            jump_rows.append(jump)
+            segs[k] = subj_seg
             starts[k] = subj_start
             rs_lens[k] = subjects[genome].len
             thresholds[k] = subjects[genome].threshold
             q_len2d[k] = q_len_row
 
-        zero_i = jnp.zeros(qb, jnp.int32)
-        full_j = jnp.full(qb, qb - 1, jnp.int32)
-        while len(mlun_rows) < sg:
-            mlun_rows.append(zero_i)
-            ps_rows.append(zero_i)
-            jump_rows.append(full_j)
+        mlun_g, ps_g, jump_g = group_subject_tables(
+            ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+            jnp.asarray(segs), jnp.asarray(starts), jnp.asarray(thresholds),
+            jump_passes,
+        )
 
         exact = model_kind in (Model.LOGDET, Model.ANI)
         counts = replay_rows_device(
             ctx.text_d,
             ctx.isa_d,
             ctx.rm,
-            jnp.stack(mlun_rows),
-            jnp.stack(ps_rows),
-            jnp.stack(jump_rows),
+            mlun_g,
+            ps_g,
+            jump_g,
             jnp.asarray(starts),
             jnp.asarray(rs_lens),
             jnp.asarray(thresholds),

@@ -24,19 +24,21 @@ import jax
 import jax.numpy as jnp
 
 from . import matchstats_jax
-from .doubling import _doubling_round, _initial_ranks, _sa_from_rank
+from .doubling import BASE_WIDTH, _doubling_round, _initial_ranks, _sa_from_rank
 
 
 @functools.partial(jax.jit, static_argnames=("rounds",))
 def suffix_array_with_levels(sym: jax.Array, rounds: int):
-    """Returns (sa, levels) where levels[r] is the rank array of width 2^r,
-    r = 0..rounds.  Requires 2^rounds >= maximal LCP + 1 (guaranteed when
-    2^rounds >= len(sym))."""
+    """Returns (sa, levels) where levels[r] is the rank array of width
+    BASE_WIDTH * 2^r, r = 0..rounds.  Requires BASE_WIDTH * 2^rounds >=
+    maximal LCP + 1 (guaranteed when >= len(sym)).  Uses the packed
+    initial ranks — inputs must satisfy the block-text contract
+    (``doubling._initial_ranks``)."""
     length = int(sym.shape[0])
-    rank, _ = _initial_ranks(sym, length)
+    rank, _ = _initial_ranks(sym, length, packed=True)
     levels = [rank]
     order = _sa_from_rank(rank, length)
-    k = 1
+    k = BASE_WIDTH
     for _ in range(rounds):
         rank, _, order = _doubling_round(rank, jnp.int32(min(k, length)), length)
         levels.append(rank)
@@ -44,23 +46,37 @@ def suffix_array_with_levels(sym: jax.Array, rounds: int):
     return order, jnp.stack(levels)
 
 
-@jax.jit
-def lcp_from_levels(sa: jax.Array, levels: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("base_width",))
+def lcp_from_levels(
+    sa: jax.Array,
+    levels: jax.Array,
+    sym: jax.Array,
+    base_width: int = BASE_WIDTH,
+) -> jax.Array:
     """Adjacent-LCP array from rank levels: lcp[t] = lcp(SA[t-1], SA[t]),
-    lcp[0] = 0.  One vectorized compare-and-advance per level."""
+    lcp[0] = 0.  One vectorized compare-and-advance per level (width
+    base_width * 2^r), then base_width-1 direct symbol-compare steps for
+    the sub-width remainder."""
     n = sa.shape[0]
     nlev = levels.shape[0]
     a = jnp.concatenate([sa[:1], sa[:-1]])  # previous suffix (a[0] unused)
     b = sa
     h = jnp.zeros(n, jnp.int32)
     for r in range(nlev - 1, -1, -1):
-        w = jnp.int32(1 << r)
+        w = jnp.int32(base_width << r)
         ai = a + h
         bi = b + h
         ok = (ai < n) & (bi < n)
         ra = levels[r][jnp.minimum(ai, n - 1)]
         rb = levels[r][jnp.minimum(bi, n - 1)]
         h = jnp.where(ok & (ra == rb), h + w, h)
+    for _ in range(base_width - 1):
+        ai = a + h
+        bi = b + h
+        ok = (ai < n) & (bi < n)
+        ea = sym[jnp.minimum(ai, n - 1)]
+        eb = sym[jnp.minimum(bi, n - 1)]
+        h = jnp.where(ok & (ea == eb), h + 1, h)
     return h.at[0].set(0)
 
 
@@ -99,7 +115,7 @@ def full_subject_step(
     one subject.  Fully traced (no host round trips) — the single-chip
     'forward step' of the engine."""
     sa, levels = suffix_array_with_levels(sym, rounds)
-    lcp = lcp_from_levels(sa, levels)
+    lcp = lcp_from_levels(sa, levels, sym)
     return esa_matchstats_step(
         sym, seg_start, subj_seg, subj_start, tq, sa, lcp
     )

@@ -22,13 +22,57 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("length",))
-def _initial_ranks(sym: jax.Array, length: int):
+BASE_WIDTH = 4  # initial prefix width of the packed-init path
+
+# Contract for packed=True (the block-text device paths): every non-padding
+# symbol lies in [1, PACK_CLAMP - 2] (bytes 33..255 plus separators
+# 256+seg, seg < ~760), and padding symbols are >= 2^20, strictly
+# increasing, and form the text tail.  Arbitrary alphabets (tests, oracle
+# comparisons) must use packed=False.
+PACK_CLAMP = 1023
+
+
+@functools.partial(jax.jit, static_argnames=("length", "packed"))
+def _initial_ranks(sym: jax.Array, length: int, packed: bool = False):
+    """Initial prefix ranks: width 1 (exact, any alphabet) or width
+    BASE_WIDTH via ONE two-key sort (packed=True, block-text contract).
+
+    Packed: key1 is the full symbol (keeps separators and the strictly
+    increasing padding exactly ordered); key2 packs the next three symbols
+    clamped to 10 bits.  Clamping is monotone, so it can only merge orders
+    into ties — never invert them — and under the contract above the only
+    clamped values are tail padding, whose window patterns are unique per
+    position, so no information the later doubling rounds can't see is
+    lost.  Out-of-range positions pack as 0 < every real symbol, matching
+    shorter-suffix-sorts-first (only padding suffixes reach out of range)."""
     idx = jnp.arange(length, dtype=jnp.int32)
-    sym_sorted, order = jax.lax.sort((sym.astype(jnp.int32), idx), num_keys=1)
-    changed = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), (sym_sorted[1:] != sym_sorted[:-1]).astype(jnp.int32)]
-    )
+    s = sym.astype(jnp.int32)
+
+    if not packed:
+        k1s, order = jax.lax.sort((s, idx), num_keys=1)
+        changed = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.int32),
+                (k1s[1:] != k1s[:-1]).astype(jnp.int32),
+            ]
+        )
+    else:
+        def clamp_at(j):
+            sh = jnp.concatenate(
+                [s[j:], jnp.zeros(min(j, length), jnp.int32)]
+            )
+            return jnp.minimum(sh, PACK_CLAMP)
+
+        key2 = (clamp_at(1) << 20) | (clamp_at(2) << 10) | clamp_at(3)
+        k1s, k2s, order = jax.lax.sort((s, key2, idx), num_keys=2)
+        changed = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.int32),
+                ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(
+                    jnp.int32
+                ),
+            ]
+        )
     rank_sorted = jnp.cumsum(changed, dtype=jnp.int32)
     rank = jnp.zeros(length, jnp.int32).at[order].set(rank_sorted)
     max_rank = rank_sorted[-1]
@@ -61,19 +105,20 @@ def _sa_from_rank(rank: jax.Array, length: int):
     )
 
 
-def suffix_array_device(sym: jax.Array) -> jax.Array:
+def suffix_array_device(sym: jax.Array, packed: bool = False) -> jax.Array:
     """Suffix array of an int32 symbol array, computed on device.
 
     Python-level round loop with early exit (one scalar readback per round);
-    each round is a fully jitted device sort.
+    each round is a fully jitted device sort.  ``packed=True`` (block-text
+    contract, see ``_initial_ranks``) starts from width-BASE_WIDTH ranks.
     """
     length = int(sym.shape[0])
     if length == 0:
         return jnp.zeros(0, jnp.int32)
-    rank, max_rank = _initial_ranks(sym, length)
+    rank, max_rank = _initial_ranks(sym, length, packed)
     if int(max_rank) == length - 1:
         return _sa_from_rank(rank, length)
-    k = 1
+    k = BASE_WIDTH if packed else 1
     while True:
         rank, max_rank, order = _doubling_round(
             rank, jnp.int32(min(k, length)), length
@@ -83,20 +128,22 @@ def suffix_array_device(sym: jax.Array) -> jax.Array:
         k *= 2
 
 
-def suffix_array_device_collect(sym: jax.Array):
+def suffix_array_device_collect(sym: jax.Array, packed: bool = False):
     """Like ``suffix_array_device`` but also returns the rank array of every
-    width as a list [width 1, 2, 4, ...] for the level-walk LCP
-    (``device_pipeline.lcp_from_levels``).  Early exit still applies — the
-    level list stops once ranks are distinct, which bounds both rounds and
-    level memory by the data's actual repeat structure."""
+    width as a list (width base, 2*base, 4*base, ... with base = BASE_WIDTH
+    when packed else 1) for the level-walk LCP
+    (``device_pipeline.lcp_from_levels``; sub-base remainders are finished
+    by direct symbol compares there).  Early exit still applies — the level
+    list stops once ranks are distinct, which bounds both rounds and level
+    memory by the data's actual repeat structure."""
     length = int(sym.shape[0])
     if length == 0:
         return jnp.zeros(0, jnp.int32), [jnp.zeros(0, jnp.int32)]
-    rank, max_rank = _initial_ranks(sym, length)
+    rank, max_rank = _initial_ranks(sym, length, packed)
     levels = [rank]
     if int(max_rank) == length - 1:
         return _sa_from_rank(rank, length), levels
-    k = 1
+    k = BASE_WIDTH if packed else 1
     while True:
         rank, max_rank, order = _doubling_round(
             rank, jnp.int32(min(k, length)), length
@@ -113,14 +160,17 @@ def suffix_array(sym: np.ndarray) -> np.ndarray:
     return np.asarray(jax.device_get(suffix_array_device(sym_d)))
 
 
-def suffix_array_fixed_rounds(sym: jax.Array, rounds: int) -> jax.Array:
+def suffix_array_fixed_rounds(
+    sym: jax.Array, rounds: int, packed: bool = False
+) -> jax.Array:
     """Fully traced variant with a static round count (for jit/sharding
     validation paths like ``dryrun_multichip`` where host round-trips are
-    not possible).  ``rounds`` must satisfy 2**rounds >= len(sym)."""
+    not possible).  ``rounds`` must satisfy base * 2**rounds >= len(sym)
+    with base = BASE_WIDTH when packed else 1."""
     length = int(sym.shape[0])
-    rank, _ = _initial_ranks(sym, length)
+    rank, _ = _initial_ranks(sym, length, packed)
     order = _sa_from_rank(rank, length)
-    k = 1
+    k = BASE_WIDTH if packed else 1
     for _ in range(rounds):
         rank, _, order = _doubling_round(rank, jnp.int32(min(k, length)), length)
         k *= 2

@@ -33,17 +33,35 @@ class BlockLayout:
     ``genome_ids`` maps segment index -> genome index; ``is_subject`` marks
     RS segments (vs query-only segments).  ``seg_start`` has one extra
     trailing entry = total length (so ``seg_start[s+1]`` is valid).
+
+    The text is stored as bytes (``u8``); the only non-byte symbols are the
+    per-segment separators at positions ``seg_start[s+1]-1`` whose int32
+    value is ``SEPARATOR_BASE + s``.  ``sym`` materializes the int32 view on
+    demand (host/NumPy paths only — the device path ships bytes and
+    reconstructs separators on device, 4x less H2D traffic and no int32
+    host copies of genome-scale texts).
     """
 
-    sym: np.ndarray  # int32[N] text symbols incl. separators
+    u8: np.ndarray  # uint8[N] text bytes (separator slots hold 0)
     seg_start: np.ndarray  # int64[nseg+1]
     genome_ids: np.ndarray  # int32[nseg]
     is_subject: np.ndarray  # bool[nseg]
     seq_lens: np.ndarray  # int64[nseg] forward-sequence length L_j
+    _sym: np.ndarray | None = dataclasses.field(default=None, repr=False)
 
     @property
     def n(self) -> int:
-        return len(self.sym)
+        return len(self.u8)
+
+    @property
+    def sym(self) -> np.ndarray:
+        """int32 text symbols incl. separator values (cached)."""
+        if self._sym is None:
+            sym = self.u8.astype(np.int32)
+            ends = self.seg_start[1:] - 1
+            sym[ends] = SEPARATOR_BASE + np.arange(len(ends), dtype=np.int32)
+            self._sym = sym
+        return self._sym
 
     def segment_of(self, pos: np.ndarray) -> np.ndarray:
         """Segment index for each text position."""
@@ -79,41 +97,39 @@ def build_block(
     ``query_seqs``: genome -> forward byte array for genomes whose RS is not
     in the block (their queries still participate in matching).
     """
-    parts: list[np.ndarray] = []
     seg_start: list[int] = []
     genome_ids: list[int] = []
     is_subject: list[bool] = []
     seq_lens: list[int] = []
 
+    total = sum(len(rs) + 1 for rs in subject_rs.values()) + sum(
+        len(q) + 1 for q in query_seqs.values()
+    )
+    u8 = np.zeros(total, dtype=np.uint8)
+
     pos = 0
     seg = 0
     for genome, rs in subject_rs.items():
-        sym = np.empty(len(rs) + 1, dtype=np.int32)
-        sym[:-1] = rs
-        sym[-1] = SEPARATOR_BASE + seg
-        parts.append(sym)
+        u8[pos : pos + len(rs)] = rs
         seg_start.append(pos)
         genome_ids.append(genome)
         is_subject.append(True)
         seq_lens.append((len(rs) - 1) // 2)
-        pos += len(sym)
+        pos += len(rs) + 1
         seg += 1
 
     for genome, q in query_seqs.items():
-        sym = np.empty(len(q) + 1, dtype=np.int32)
-        sym[:-1] = q
-        sym[-1] = SEPARATOR_BASE + seg
-        parts.append(sym)
+        u8[pos : pos + len(q)] = q
         seg_start.append(pos)
         genome_ids.append(genome)
         is_subject.append(False)
         seq_lens.append(len(q))
-        pos += len(sym)
+        pos += len(q) + 1
         seg += 1
 
     seg_start.append(pos)
     return BlockLayout(
-        sym=np.concatenate(parts) if parts else np.zeros(0, np.int32),
+        u8=u8,
         seg_start=np.asarray(seg_start, dtype=np.int64),
         genome_ids=np.asarray(genome_ids, dtype=np.int32),
         is_subject=np.asarray(is_subject, dtype=bool),

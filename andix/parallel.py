@@ -53,7 +53,7 @@ def sharded_matchstats_fn(mesh: Mesh, rounds: int, local_subjects: int):
         seg_start = seg_start[0]
         tq = tq[0]
         sa, levels = device_pipeline.suffix_array_with_levels(text, rounds)
-        lcp = device_pipeline.lcp_from_levels(sa, levels)
+        lcp = device_pipeline.lcp_from_levels(sa, levels, text)
         mls, uns, pss = [], [], []
         for l in range(local_subjects):
             ml, un, ps = device_pipeline.esa_matchstats_step(
