@@ -201,21 +201,11 @@ def _replay_impl(
                 eq0_rem = jnp.where(promote, eq1_rem, eq0_rem)
                 eq1_rem = jnp.where(promote, 0, eq1_rem)
                 busy_eq = eq0_rem > 0
-                ce = jnp.where(busy_eq, jnp.minimum(eq0_rem, COUNT_CHUNK), 0)
-                counts = counts + eq_chunk(eq0_p, ce)
-                eq0_p = eq0_p + ce
-                eq0_rem = eq0_rem - ce
             else:
                 counts = state[9]
                 busy_eq = jnp.bool_(False)
 
             busy_gp = gp_rem > 0
-            cg = jnp.where(busy_gp, jnp.minimum(gp_rem, COUNT_CHUNK), 0)
-            counts = counts + gap_chunk(gp_s, gp_q, cg)
-            gp_s = gp_s + cg
-            gp_q = gp_q + cg
-            gp_rem = gp_rem - cg
-
             probe = (~fin) & (~busy_eq) & (~busy_gp)
 
             # while the gap exceeds the threshold no lucky anchor can fire
@@ -302,6 +292,20 @@ def _replay_impl(
                     done_now & trail, 1, 0
                 )
             fin = fin | done_now
+
+            # consume one chunk from each pending interval — including one
+            # this probe just enqueued, so the common short gap is counted
+            # in the probe's own iteration (no extra loop trip)
+            if exact_counts:
+                ce = jnp.minimum(eq0_rem, COUNT_CHUNK)
+                counts = counts + eq_chunk(eq0_p, ce)
+                eq0_p = eq0_p + ce
+                eq0_rem = eq0_rem - ce
+            cg = jnp.minimum(gp_rem, COUNT_CHUNK)
+            counts = counts + gap_chunk(gp_s, gp_q, cg)
+            gp_s = gp_s + cg
+            gp_q = gp_q + cg
+            gp_rem = gp_rem - cg
 
             out = (pos_q, last_q, last_s, last_len, last_right, fin,
                    gp_s, gp_q, gp_rem)

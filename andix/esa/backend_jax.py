@@ -110,9 +110,110 @@ def _build_device_text(u8: jax.Array, sep_pos: jax.Array, sep_val: jax.Array,
     return jnp.where(iota >= n_real, pad_base + iota, sym)
 
 
+_ACGT_BYTES = (65, 67, 71, 84)
+
+
+def _pack2bit(u8: np.ndarray):
+    """(packed, exc_pos, exc_val): 2-bit base codes (A=0 C=1 G=2 T=3), four
+    per byte, plus a sparse exception list covering every non-ACGT byte
+    (contig joiners, strand separators, per-segment separator slots)."""
+    n = len(u8)
+    code = np.zeros(n, dtype=np.uint8)
+    known = u8 == 65
+    for k, b in ((1, 67), (2, 71), (3, 84)):
+        m = u8 == b
+        code[m] = k
+        known |= m
+    exc_pos = np.nonzero(~known)[0].astype(np.int32)
+    exc_val = u8[exc_pos].astype(np.int32)
+    m4 = -(-n // 4) * 4
+    codep = np.zeros(m4, dtype=np.uint8)
+    codep[:n] = code
+    q = codep.reshape(-1, 4).astype(np.uint8)
+    packed = q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
+    return packed, exc_pos, exc_val
+
+
+@jax.jit
+def _build_device_text_packed(
+    packed: jax.Array,  # uint8[Np/4]
+    exc_pos: jax.Array,  # int32[E] (padded by repeating the last entry)
+    exc_val: jax.Array,  # int32[E] byte or separator (>= 256) values
+    n_real: jax.Array,
+) -> jax.Array:
+    """16x less H2D than int32 symbols: unpack 2-bit base codes, scatter the
+    sparse exceptions, append strictly increasing padding symbols."""
+    p = packed.astype(jnp.int32)
+    codes = jnp.stack(
+        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=1
+    ).reshape(-1)
+    sym = jnp.where(
+        codes == 0,
+        jnp.int32(65),
+        jnp.where(
+            codes == 1, jnp.int32(67),
+            jnp.where(codes == 2, jnp.int32(71), jnp.int32(84)),
+        ),
+    )
+    sym = sym.at[exc_pos].set(exc_val)
+    npad = sym.shape[0]
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    pad_base = jnp.int32(1 << 20)
+    return jnp.where(iota >= n_real, pad_base + iota, sym)
+
+
+@functools.partial(jax.jit, static_argnames=("qb",))
+def _device_tq(
+    isa: jax.Array,  # int32[Np]
+    q_start: jax.Array,  # int32[gp] text offset of each query span
+    q_off: jax.Array,  # int32[gp+1] blob offsets (q_off[-1] = total)
+    qb: int,
+) -> jax.Array:
+    """SA slots of the query blob, built on device (replaces shipping an
+    O(total query length) index array through the tunnel)."""
+    v = jnp.arange(qb, dtype=jnp.int32)
+    boundary = jnp.zeros(qb, jnp.int32).at[q_off[1:]].add(
+        1, mode="drop"
+    )
+    seg = jnp.cumsum(boundary)
+    gp = q_start.shape[0]
+    seg = jnp.minimum(seg, gp - 1)
+    tq_text = q_start[seg] + (v - q_off[seg])
+    tq_text = jnp.where(v < q_off[-1], tq_text, 0)
+    return isa[tq_text]
+
+
+@jax.jit
+def _device_segid(sa: jax.Array, seg_bounds: jax.Array) -> jax.Array:
+    """Segment id per SA entry: text-order cumsum over segment boundaries
+    plus one gather (replaces a 20x slower vectorized searchsorted)."""
+    npad = sa.shape[0]
+    boundary = jnp.zeros(npad, jnp.int32).at[seg_bounds].add(1, mode="drop")
+    segid_text = jnp.cumsum(boundary)
+    return segid_text[sa]
+
+
 _DEVICE_LCP_MAX = int(
     __import__("os").environ.get("ANDIX_DEVICE_LCP_MAX", 64 * 1024 * 1024)
 )
+
+
+def _prof(label: str, t0: float, sync=None) -> float:
+    """Append a phase timing to ANDIX_PROF_FILE (no-op when unset).
+    ``sync``: array whose first element is read back to force completion
+    (axon's block_until_ready is unreliable)."""
+    import os
+    import time
+
+    path = os.environ.get("ANDIX_PROF_FILE")
+    if not path:
+        return t0
+    if sync is not None:
+        _ = int(np.asarray(sync[0]).ravel()[0])
+    t1 = time.time()
+    with open(path, "a") as f:
+        f.write(f"{label}: {t1 - t0:.2f}s\n")
+    return time.time()
 
 
 class JaxBackend:
@@ -125,26 +226,51 @@ class JaxBackend:
         self.device_lcp = device_lcp  # None = auto by block size
 
     def prepare_block(self, layout: BlockLayout) -> BlockContext:
+        import time
+
+        t0 = time.time()
         n_real = layout.n
         padded_n = bucket(n_real)
-
-        # ship the text as bytes; separators/padding reconstructed on device
-        u8 = np.zeros(padded_n, dtype=np.uint8)
-        u8[:n_real] = layout.u8
         nseg = len(layout.genome_ids)
-        sep_cap = max(16, -(-nseg // 16) * 16)
-        sep_pos = np.zeros(sep_cap, dtype=np.int32)
-        sep_val = np.zeros(sep_cap, dtype=np.int32)
         ends = layout.seg_start[1:].astype(np.int64) - 1
-        sep_pos[:nseg] = ends
-        sep_val[:nseg] = 256 + np.arange(nseg)
+
+        packed, exc_pos, exc_val = _pack2bit(layout.u8)
+        # separator slots (byte 0 in u8) are part of the exception list;
+        # overwrite their values with the real separator symbols
         if nseg:
-            sep_pos[nseg:] = ends[-1]
-            sep_val[nseg:] = 256 + nseg - 1
-        sym_d = _build_device_text(
-            jnp.asarray(u8), jnp.asarray(sep_pos), jnp.asarray(sep_val),
-            jnp.int32(n_real),
-        )
+            exc_val[np.searchsorted(exc_pos, ends)] = 256 + np.arange(nseg)
+        n_exc = len(exc_pos)
+        if n_exc <= max(4096, n_real // 16):
+            # 2-bit path: 16x less H2D than int32 symbols
+            packed_pad = np.zeros(padded_n // 4, dtype=np.uint8)
+            packed_pad[: len(packed)] = packed
+            exc_cap = max(64, 1 << int(max(n_exc - 1, 1)).bit_length())
+            exc_pos_pad = np.full(exc_cap, exc_pos[-1], dtype=np.int32)
+            exc_val_pad = np.full(exc_cap, exc_val[-1], dtype=np.int32)
+            exc_pos_pad[:n_exc] = exc_pos
+            exc_val_pad[:n_exc] = exc_val
+            t0 = _prof("host text prep", t0)
+            sym_d = _build_device_text_packed(
+                jnp.asarray(packed_pad), jnp.asarray(exc_pos_pad),
+                jnp.asarray(exc_val_pad), jnp.int32(n_real),
+            )
+        else:  # exception-dense text (e.g. thousands of tiny contigs)
+            u8 = np.zeros(padded_n, dtype=np.uint8)
+            u8[:n_real] = layout.u8
+            sep_cap = max(16, -(-nseg // 16) * 16)
+            sep_pos = np.zeros(sep_cap, dtype=np.int32)
+            sep_val = np.zeros(sep_cap, dtype=np.int32)
+            sep_pos[:nseg] = ends
+            sep_val[:nseg] = 256 + np.arange(nseg)
+            if nseg:
+                sep_pos[nseg:] = ends[-1]
+                sep_val[nseg:] = 256 + nseg - 1
+            t0 = _prof("host text prep", t0)
+            sym_d = _build_device_text(
+                jnp.asarray(u8), jnp.asarray(sep_pos), jnp.asarray(sep_val),
+                jnp.int32(n_real),
+            )
+        t0 = _prof("H2D + device text", t0, sym_d)
 
         use_device_lcp = (
             self.device_lcp
@@ -160,6 +286,7 @@ class JaxBackend:
             sa_d, levels = doubling.suffix_array_device_collect(
                 sym_d, packed=packed
             )
+            t0 = _prof(f"SA doubling ({len(levels)} levels)", t0, sa_d)
             # bucket the level count so lcp_from_levels compiles once per
             # (shape, bucket): padding rows repeat the top level, whose ranks
             # are all distinct, so the walk never advances on them
@@ -170,6 +297,7 @@ class JaxBackend:
                 base_width=doubling.BASE_WIDTH if packed else 1,
             )
             del levels
+            t0 = _prof("LCP level walk", t0, lcp_d)
         else:
             sa_d = doubling.suffix_array_device(sym_d, packed=packed)
             sa = np.asarray(jax.device_get(sa_d))
@@ -186,28 +314,43 @@ class JaxBackend:
 
         # segment id per SA entry; padding positions land past the last
         # segment and therefore never match any subject segment
-        seg_start_d = jnp.asarray(layout.seg_start.astype(np.int64))
-        segid_d = (
-            jnp.searchsorted(seg_start_d, sa_d.astype(jnp.int64), side="right")
-            - 1
-        ).astype(jnp.int32)
-
-        genomes, q_off, blob, qpos_all = _query_blob(layout)
-        isa_d = matchstats_jax.inverse_sa_device(sa_d)
-        tq_pad = np.zeros(bucket(max(len(qpos_all), 1)), dtype=np.int32)
-        tq_pad[: len(qpos_all)] = qpos_all
-        tq_d = isa_d[jnp.asarray(tq_pad)]
+        segid_d = _device_segid(
+            sa_d, jnp.asarray(layout.seg_start[1:].astype(np.int32))
+        )
+        t0 = _prof("segid", t0, segid_d)
 
         # device-replay inputs: query lane table padded to a small bucket
+        genomes = [int(g) for g in layout.genome_ids]
         gp = max(8, -(-len(genomes) // 8) * 8)
         q_start = np.zeros(gp, dtype=np.int32)
         q_len = np.zeros(gp, dtype=np.int32)
         q_base = np.zeros(gp, dtype=np.int32)
+        q_off = np.zeros(len(genomes) + 1, dtype=np.int64)
         for k, g in enumerate(genomes):
             qs, qe = layout.query_span(g)
             q_start[k] = qs
             q_len[k] = qe - qs
+            q_off[k + 1] = q_off[k] + (qe - qs)
             q_base[k] = q_off[k]
+        q_off_pad = np.full(gp + 1, q_off[-1], dtype=np.int32)
+        q_off_pad[: len(q_off)] = q_off
+
+        isa_d = matchstats_jax.inverse_sa_device(sa_d)
+        qb = bucket(max(int(q_off[-1]), 1))
+        tq_d = _device_tq(
+            isa_d, jnp.asarray(q_start), jnp.asarray(q_off_pad), qb
+        )
+        t0 = _prof("isa + tq", t0, tq_d)
+        rm = rmq.build(lcp_d)
+        t0 = _prof("rmq build", t0, rm.tg[0])
+        blob = (
+            np.concatenate(
+                [layout.u8[q_start[k] : q_start[k] + q_len[k]]
+                 for k in range(len(genomes))]
+            )
+            if genomes
+            else np.zeros(0, np.uint8)
+        )
         return BlockContext(
             layout=layout,
             q_genomes=genomes,
@@ -219,7 +362,7 @@ class JaxBackend:
             tq_d=tq_d,
             text_d=sym_d,
             isa_d=isa_d,
-            rm=rmq.build(lcp_d),
+            rm=rm,
             q_start_d=jnp.asarray(q_start),
             q_len_d=jnp.asarray(q_len),
             q_base_d=jnp.asarray(q_base),
