@@ -193,6 +193,59 @@ def _device_segid(sa: jax.Array, seg_bounds: jax.Array) -> jax.Array:
     return segid_text[sa]
 
 
+def device_text(
+    layout: BlockLayout, padded_n: int, force_dense: bool = False
+) -> jax.Array:
+    """Upload + reconstruct the padded int32 joint text on device.
+
+    Sparse-exception texts (the normal case) ship 2-bit base codes plus an
+    exception list (16x less H2D than int32 symbols); exception-dense texts
+    (thousands of tiny contigs) ship raw bytes with the separator scatter.
+    Both paths produce identical symbols (tested)."""
+    n_real = layout.n
+    # the packed text path splits the padded length into byte quads
+    assert padded_n % 4 == 0, "bucket() must return a multiple of 4"
+    nseg = len(layout.genome_ids)
+    ends = layout.seg_start[1:].astype(np.int64) - 1
+
+    packed_text, exc_pos, exc_val = _pack2bit(layout.u8)
+    # separator slots (byte 0 in u8) are part of the exception list;
+    # overwrite their values with the real separator symbols
+    if nseg:
+        exc_val[np.searchsorted(exc_pos, ends)] = 256 + np.arange(nseg)
+    n_exc = len(exc_pos)
+    if 0 < n_exc <= max(4096, n_real // 16) and not force_dense:
+        # 2-bit path: 16x less H2D than int32 symbols
+        packed_pad = np.zeros(padded_n // 4, dtype=np.uint8)
+        packed_pad[: len(packed_text)] = packed_text
+        exc_cap = max(64, 1 << int(max(n_exc - 1, 1)).bit_length())
+        exc_pos_pad = np.full(exc_cap, exc_pos[-1], dtype=np.int32)
+        exc_val_pad = np.full(exc_cap, exc_val[-1], dtype=np.int32)
+        exc_pos_pad[:n_exc] = exc_pos
+        exc_val_pad[:n_exc] = exc_val
+        return _build_device_text_packed(
+            jnp.asarray(packed_pad), jnp.asarray(exc_pos_pad),
+            jnp.asarray(exc_val_pad), jnp.int32(n_real),
+        )
+    # exception-dense text (e.g. thousands of tiny contigs) or none at all
+    u8 = np.zeros(padded_n, dtype=np.uint8)
+    u8[:n_real] = layout.u8
+    sep_cap = max(16, -(-nseg // 16) * 16)
+    sep_pos = np.zeros(sep_cap, dtype=np.int32)
+    sep_val = np.zeros(sep_cap, dtype=np.int32)
+    if nseg:
+        sep_pos[:nseg] = ends
+        sep_val[:nseg] = 256 + np.arange(nseg)
+        sep_pos[nseg:] = ends[-1]
+        sep_val[nseg:] = 256 + nseg - 1
+    else:  # no segments: make the scatter a no-op on padding slot 0
+        sep_val[:] = 0
+    return _build_device_text(
+        jnp.asarray(u8), jnp.asarray(sep_pos), jnp.asarray(sep_val),
+        jnp.int32(n_real),
+    )
+
+
 _DEVICE_LCP_MAX = int(
     __import__("os").environ.get("ANDIX_DEVICE_LCP_MAX", 64 * 1024 * 1024)
 )
@@ -232,44 +285,8 @@ class JaxBackend:
         n_real = layout.n
         padded_n = bucket(n_real)
         nseg = len(layout.genome_ids)
-        ends = layout.seg_start[1:].astype(np.int64) - 1
-
-        packed, exc_pos, exc_val = _pack2bit(layout.u8)
-        # separator slots (byte 0 in u8) are part of the exception list;
-        # overwrite their values with the real separator symbols
-        if nseg:
-            exc_val[np.searchsorted(exc_pos, ends)] = 256 + np.arange(nseg)
-        n_exc = len(exc_pos)
-        if n_exc <= max(4096, n_real // 16):
-            # 2-bit path: 16x less H2D than int32 symbols
-            packed_pad = np.zeros(padded_n // 4, dtype=np.uint8)
-            packed_pad[: len(packed)] = packed
-            exc_cap = max(64, 1 << int(max(n_exc - 1, 1)).bit_length())
-            exc_pos_pad = np.full(exc_cap, exc_pos[-1], dtype=np.int32)
-            exc_val_pad = np.full(exc_cap, exc_val[-1], dtype=np.int32)
-            exc_pos_pad[:n_exc] = exc_pos
-            exc_val_pad[:n_exc] = exc_val
-            t0 = _prof("host text prep", t0)
-            sym_d = _build_device_text_packed(
-                jnp.asarray(packed_pad), jnp.asarray(exc_pos_pad),
-                jnp.asarray(exc_val_pad), jnp.int32(n_real),
-            )
-        else:  # exception-dense text (e.g. thousands of tiny contigs)
-            u8 = np.zeros(padded_n, dtype=np.uint8)
-            u8[:n_real] = layout.u8
-            sep_cap = max(16, -(-nseg // 16) * 16)
-            sep_pos = np.zeros(sep_cap, dtype=np.int32)
-            sep_val = np.zeros(sep_cap, dtype=np.int32)
-            sep_pos[:nseg] = ends
-            sep_val[:nseg] = 256 + np.arange(nseg)
-            if nseg:
-                sep_pos[nseg:] = ends[-1]
-                sep_val[nseg:] = 256 + nseg - 1
-            t0 = _prof("host text prep", t0)
-            sym_d = _build_device_text(
-                jnp.asarray(u8), jnp.asarray(sep_pos), jnp.asarray(sep_val),
-                jnp.int32(n_real),
-            )
+        t0 = _prof("host text prep", t0)
+        sym_d = device_text(layout, padded_n)
         t0 = _prof("H2D + device text", t0, sym_d)
 
         use_device_lcp = (
@@ -279,12 +296,12 @@ class JaxBackend:
         )
         # packed initial ranks need separator values within the 10-bit
         # clamp (doubling._initial_ranks contract): 256 + seg <= 1021
-        packed = nseg <= 700
+        packed_ranks = nseg <= 700
         if use_device_lcp:
             from . import device_pipeline
 
             sa_d, levels = doubling.suffix_array_device_collect(
-                sym_d, packed=packed
+                sym_d, packed=packed_ranks
             )
             t0 = _prof(f"SA doubling ({len(levels)} levels)", t0, sa_d)
             # bucket the level count so lcp_from_levels compiles once per
@@ -294,12 +311,12 @@ class JaxBackend:
                 levels.append(levels[-1])
             lcp_d = device_pipeline.lcp_from_levels(
                 sa_d, jnp.stack(levels), sym_d,
-                base_width=doubling.BASE_WIDTH if packed else 1,
+                base_width=doubling.BASE_WIDTH if packed_ranks else 1,
             )
             del levels
             t0 = _prof("LCP level walk", t0, lcp_d)
         else:
-            sa_d = doubling.suffix_array_device(sym_d, packed=packed)
+            sa_d = doubling.suffix_array_device(sym_d, packed=packed_ranks)
             sa = np.asarray(jax.device_get(sa_d))
             # host-side reconstruction of the padded text for the native LCP;
             # pad_symbols and _build_device_text may differ in the exact pad

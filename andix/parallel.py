@@ -22,7 +22,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.6 top-level API (check_vma keyword)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+except ImportError:  # pragma: no cover - older jax (check_rep keyword)
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        return _shard_map_old(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 
 from .esa import device_pipeline
 
@@ -76,7 +92,6 @@ def sharded_matchstats_fn(mesh: Mesh, rounds: int, local_subjects: int):
         mesh=mesh,
         in_specs=(P("s"), P("s"), P("s"), P("s"), P("s")),
         out_specs=(P(), P(), P()),
-        check_rep=False,
     )
     return jax.jit(sharded)
 

@@ -157,29 +157,66 @@ def _query_chunks(
     return chunks
 
 
+CHECKPOINT_FORMAT = 2
+
+
+def checkpoint_fingerprint(seqs: list[Seq], ctx: Context) -> str:
+    """Run fingerprint stored in every checkpoint row: anything that changes
+    the 16-cell counts (model exactness, anchor p-value, the input sequences
+    and their order) must invalidate stale rows."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"v{CHECKPOINT_FORMAT};{ctx.model.value};{ctx.anchor_p_value!r};".encode())
+    for s in seqs:
+        h.update(f"{s.name}\x00{s.len};".encode())
+    return h.hexdigest()
+
+
 class TileCheckpoint:
     """Row-tile checkpoint/resume for long pod-scale runs (reference has
     none — SURVEY.md §5).  One .npz per subject row holding the 16-cell
     counts and seq_len of every pair in that row; rows found on disk are
     served without recomputation.  Enable with ``--checkpoint DIR`` /
-    ``ANDIX_CHECKPOINT_DIR``."""
+    ``ANDIX_CHECKPOINT_DIR``.
 
-    def __init__(self, directory: str):
+    Every row carries a run fingerprint (format version, model, p-value,
+    sequence names + lengths); rows from a different configuration are
+    refused loudly and recomputed instead of silently served."""
+
+    def __init__(self, directory: str, fingerprint: str = ""):
         self.dir = directory
+        self.fingerprint = fingerprint
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, i: int) -> str:
         return os.path.join(self.dir, f"row_{i}.npz")
 
     def load_row(self, i: int, n: int):
+        import sys
+
         path = self._path(i)
         if not os.path.exists(path):
             return None
         try:
             data = np.load(path)
+            fp = str(data["fingerprint"]) if "fingerprint" in data else ""
             counts = data["counts"]
             seq_len = data["seq_len"]
-        except Exception:
+        except (OSError, ValueError, KeyError, EOFError) as e:
+            print(
+                f"andix: checkpoint row {path} is unreadable ({e}); "
+                f"recomputing.",
+                file=sys.stderr,
+            )
+            return None
+        if fp != self.fingerprint:
+            print(
+                f"andix: checkpoint row {path} was written by a different "
+                f"run configuration (model/p-value/inputs changed); "
+                f"recomputing.",
+                file=sys.stderr,
+            )
             return None
         if counts.shape != (n, 16):
             return None
@@ -196,7 +233,9 @@ class TileCheckpoint:
             counts[j] = cm.counts
             seq_len[j] = cm.seq_len
         tmp = self._path(i) + ".tmp.npz"
-        np.savez(tmp, counts=counts, seq_len=seq_len)
+        np.savez(
+            tmp, counts=counts, seq_len=seq_len, fingerprint=self.fingerprint
+        )
         os.replace(tmp, self._path(i))
 
 
@@ -295,7 +334,11 @@ def calculate_matrix(
 
     # tile-level resume: rows already on disk skip recomputation
     ckpt_dir = ctx.checkpoint_dir or os.environ.get("ANDIX_CHECKPOINT_DIR")
-    ckpt = TileCheckpoint(ckpt_dir) if ckpt_dir else None
+    ckpt = (
+        TileCheckpoint(ckpt_dir, checkpoint_fingerprint(seqs, ctx))
+        if ckpt_dir
+        else None
+    )
     todo = list(range(n))
     if ckpt is not None:
         remaining = []

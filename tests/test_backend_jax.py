@@ -71,6 +71,30 @@ class TestDeviceScan:
         assert list(got) == [5, 3, 3]
 
 
+class TestDeviceText:
+    def test_packed_and_dense_paths_agree(self, rng, dna, mutator):
+        """The 2-bit packed upload and the byte/dense upload must rebuild
+        identical device texts (real region exact, padding strictly
+        increasing and oversized) — ADVICE r1: the dense branch was
+        untested."""
+        from andix.esa.backend_jax import bucket, device_text
+        from andix.sequence import join
+
+        # contig joiners ('!' / ';') land in the exception list
+        contigs = [dna(rng, 40) for _ in range(5)]
+        s1 = join(contigs)
+        s2 = mutator(rng, dna(rng, 230), 0.0)
+        layout = joint.build_block({0: catcomp(s1)}, {1: s2})
+        padded_n = bucket(layout.n)
+        a = np.asarray(device_text(layout, padded_n))
+        b = np.asarray(device_text(layout, padded_n, force_dense=True))
+        n = layout.n
+        assert (a[:n] == b[:n]).all()
+        assert (a[:n] == layout.sym).all()
+        assert (a[n:] >= 1 << 20).all() and (np.diff(a[n:]) > 0).all()
+        assert (b[n:] >= 1 << 20).all() and (np.diff(b[n:]) > 0).all()
+
+
 class TestJaxBackendStats:
     def test_pair_stats_vs_brute(self, rng, dna, mutator):
         s1 = dna(rng, 300)

