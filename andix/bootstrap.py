@@ -1,0 +1,73 @@
+"""Device bootstrap: all resampling rounds in one vmapped dispatch.
+
+TPU-native replacement for the reference's GSL multinomial bootstrap
+(``calculate_bootstrap``, src/process.c:289-321; ``model_bootstrap``,
+src/model.c:222-232; SURVEY.md §2.2 row 2): instead of a host double loop
+drawing one ``gsl_ran_multinomial`` per (round, pair), every round × pair
+resample happens in a single jitted ``jax.random.multinomial`` over a
+[rounds, pairs, 16] batch — one device dispatch per ``-b`` run, one
+readback.  The threefry key is ``--seed``-driven and platform-deterministic,
+fixing the reference's ``time(NULL)`` irreproducibility TODO
+(src/andi.c:272-279).
+
+Counts are carried in float32 on device; integers are exact below 2**24, so
+pairs whose total nucleotide count exceeds that fall back to the host NumPy
+resampler (``model.model_bootstrap``) — the printed output stays a pure
+function of (inputs, seed) either way, but device and host RNG streams
+differ, so replicate values depend on the chosen path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .model import CountMatrix
+
+_FLOAT32_EXACT = 1 << 24
+
+
+@functools.lru_cache(maxsize=None)
+def _resample_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("rounds",))
+    def resample(counts, seed, rounds):
+        """counts float32[P, 16] -> float32[rounds, P, 16] multinomial draws
+        with per-pair totals preserved; all-zero pairs stay all-zero."""
+        key = jax.random.key(seed)
+        totals = counts.sum(axis=1)
+        safe = jnp.maximum(totals, 1.0)
+        p = counts / safe[:, None]
+
+        def one_round(r):
+            return jax.random.multinomial(
+                jax.random.fold_in(key, r), totals, p
+            )
+
+        return jax.vmap(one_round)(jnp.arange(rounds, dtype=jnp.uint32))
+
+    return resample
+
+
+def device_bootstrap_rounds(
+    averaged: list[CountMatrix], rounds: int, seed: int
+) -> np.ndarray | None:
+    """All bootstrap replicates for the upper-triangle pair list in one
+    device dispatch.  Returns int64[rounds, len(averaged), 16], or None when
+    any pair's total exceeds float32-exact range (caller falls back to the
+    host resampler)."""
+    import jax.numpy as jnp
+
+    if not averaged or rounds <= 0:
+        return np.zeros((max(rounds, 0), len(averaged), 16), dtype=np.int64)
+    counts = np.stack([m.counts for m in averaged]).astype(np.float64)
+    if counts.sum(axis=1).max() >= _FLOAT32_EXACT:
+        return None
+    out = _resample_fn()(
+        jnp.asarray(counts, dtype=jnp.float32), np.uint32(seed & 0xFFFFFFFF),
+        rounds,
+    )
+    return np.asarray(out, dtype=np.int64)

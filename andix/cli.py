@@ -307,31 +307,66 @@ def main(argv: list[str] | None = None) -> int:
         output.print_coverages(M, n)
 
     if ctx.bootstrap:
-        calculate_bootstrap(M, seqs, n, ctx)
+        calculate_bootstrap(M, seqs, n, ctx, backend)
 
     return ctx.exit_code
 
 
+def _bootstrap_matrix(n: int) -> "list[list[CountMatrix]]":
+    B: list[list[CountMatrix]] = [[None] * n for _ in range(n)]  # type: ignore
+    for i in range(n):
+        diag = CountMatrix.zero(seq_len=1)
+        diag.counts[0] = 1
+        B[i][i] = diag
+    return B
+
+
 def calculate_bootstrap(
-    M: list[list[CountMatrix]], seqs: list[Seq], n: int, ctx: Context
+    M: list[list[CountMatrix]],
+    seqs: list[Seq],
+    n: int,
+    ctx: Context,
+    backend=None,
 ) -> None:
-    """Reference ``calculate_bootstrap``, src/process.c:289-321."""
-    rng = np.random.default_rng(ctx.seed)
-    rounds = ctx.bootstrap
-    while rounds > 0:
-        rounds -= 1
-        B: list[list[CountMatrix]] = [[None] * n for _ in range(n)]  # type: ignore
-        for i in range(n):
-            for j in range(i, n):
-                if i == j:
-                    diag = CountMatrix.zero(seq_len=1)
-                    diag.counts[0] = 1
-                    B[i][j] = diag
-                    continue
-                datum = model_average(M[i][j], M[j][i])
-                datum = model_bootstrap(datum, rng)
+    """Reference ``calculate_bootstrap``, src/process.c:289-321.
+
+    With a device backend every round × pair resample runs as ONE vmapped
+    device dispatch (``andix.bootstrap``); printing stays on host.  The host
+    NumPy resampler covers the NumPy backend and count totals beyond
+    float32-exact range."""
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    averaged = [model_average(M[i][j], M[j][i]) for i, j in pairs]
+
+    resampled = None
+    if getattr(backend, "device_replay", False):
+        from . import bootstrap as bootstrap_mod
+
+        seed = (
+            ctx.seed
+            if ctx.seed is not None
+            else int(np.random.SeedSequence().entropy) & 0xFFFFFFFF
+        )
+        resampled = bootstrap_mod.device_bootstrap_rounds(
+            averaged, ctx.bootstrap, seed
+        )
+
+    if resampled is not None:
+        for r in range(ctx.bootstrap):
+            B = _bootstrap_matrix(n)
+            for k, (i, j) in enumerate(pairs):
+                datum = CountMatrix(resampled[r, k], averaged[k].seq_len)
                 B[i][j] = datum
                 B[j][i] = datum
+            output.print_distances(B, seqs, n, False, ctx)
+        return
+
+    rng = np.random.default_rng(ctx.seed)
+    for _ in range(ctx.bootstrap):
+        B = _bootstrap_matrix(n)
+        for k, (i, j) in enumerate(pairs):
+            datum = model_bootstrap(averaged[k], rng)
+            B[i][j] = datum
+            B[j][i] = datum
         output.print_distances(B, seqs, n, False, ctx)
 
 

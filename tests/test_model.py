@@ -150,3 +150,54 @@ class TestBootstrap:
         m = mm.CountMatrix.zero(10)
         bs = mm.model_bootstrap(m, rng)
         assert bs.counts.sum() == 0
+
+
+class TestDeviceBootstrap:
+    def _pairs(self):
+        c1 = np.zeros(16, dtype=np.int64)
+        c1[mm.AtoA] = 90_000
+        c1[mm.AtoC] = 7_000
+        c1[mm.GtoG] = 3_000
+        c2 = np.zeros(16, dtype=np.int64)
+        c2[mm.TtoT] = 55_000
+        c2[mm.TtoA] = 5_000
+        return [make(c1, 100_000), make(c2, 60_000)]
+
+    def test_totals_preserved_and_reproducible(self):
+        from andix.bootstrap import device_bootstrap_rounds
+
+        pairs = self._pairs()
+        out = device_bootstrap_rounds(pairs, 5, seed=42)
+        assert out.shape == (5, 2, 16)
+        totals = np.array([p.counts.sum() for p in pairs])
+        assert (out.sum(axis=2) == totals[None, :]).all()
+        # rounds differ, reruns don't
+        assert not (out[0] == out[1]).all()
+        again = device_bootstrap_rounds(pairs, 5, seed=42)
+        assert (out == again).all()
+        other = device_bootstrap_rounds(pairs, 5, seed=43)
+        assert not (out == other).all()
+
+    def test_zero_pair_stays_zero(self):
+        from andix.bootstrap import device_bootstrap_rounds
+
+        pairs = self._pairs() + [mm.CountMatrix.zero(10)]
+        out = device_bootstrap_rounds(pairs, 3, seed=1)
+        assert (out[:, 2, :] == 0).all()
+
+    def test_float32_overflow_falls_back(self):
+        from andix.bootstrap import device_bootstrap_rounds
+
+        c = np.zeros(16, dtype=np.int64)
+        c[mm.AtoA] = 1 << 25  # beyond float32-exact integers
+        assert device_bootstrap_rounds([make(c, 1 << 25)], 2, seed=0) is None
+
+    def test_distribution_sane(self):
+        """Resampled cell means must track the source proportions (the
+        reference's bootstrap is an honest multinomial, src/model.c:222-232)."""
+        from andix.bootstrap import device_bootstrap_rounds
+
+        pairs = self._pairs()[:1]
+        out = device_bootstrap_rounds(pairs, 200, seed=7)
+        mean = out[:, 0, :].mean(axis=0)
+        np.testing.assert_allclose(mean, pairs[0].counts, rtol=0.02, atol=20)
