@@ -297,6 +297,15 @@ def main(argv: list[str] | None = None) -> int:
     meter = output.ProgressMeter(n, show_progress)
 
     backend = select_backend(ctx)
+    if getattr(backend, "device_replay", False):
+        # multi-host scaffolding: joins the pod-slice cluster when a
+        # coordinator is configured (ANDIX_COORDINATOR), no-op otherwise
+        from .parallel import maybe_init_distributed
+
+        try:
+            maybe_init_distributed()
+        except Exception as e:
+            ctx.soft_err(f"jax.distributed initialization failed: {e}")
     M = pipeline.calculate_matrix(
         seqs, ctx, backend=backend, block_syms=ctx.block_syms, progress=meter
     )

@@ -193,15 +193,14 @@ def _device_segid(sa: jax.Array, seg_bounds: jax.Array) -> jax.Array:
     return segid_text[sa]
 
 
-def device_text(
-    layout: BlockLayout, padded_n: int, force_dense: bool = False
-) -> jax.Array:
-    """Upload + reconstruct the padded int32 joint text on device.
-
-    Sparse-exception texts (the normal case) ship 2-bit base codes plus an
-    exception list (16x less H2D than int32 symbols); exception-dense texts
-    (thousands of tiny contigs) ship raw bytes with the separator scatter.
-    Both paths produce identical symbols (tested)."""
+def packed_text_arrays(
+    layout: BlockLayout, padded_n: int, exc_cap: int | None = None
+):
+    """Host-side inputs for ``_build_device_text_packed``: 2-bit packed base
+    codes (padded to ``padded_n // 4`` bytes) plus the padded exception
+    list (non-ACGT bytes and per-segment separator symbols).  Returns None
+    when the text is exception-dense (caller uses the byte path), unless
+    ``exc_cap`` is forced."""
     n_real = layout.n
     # the packed text path splits the padded length into byte quads
     assert padded_n % 4 == 0, "bucket() must return a multiple of 4"
@@ -214,19 +213,43 @@ def device_text(
     if nseg:
         exc_val[np.searchsorted(exc_pos, ends)] = 256 + np.arange(nseg)
     n_exc = len(exc_pos)
-    if 0 < n_exc <= max(4096, n_real // 16) and not force_dense:
-        # 2-bit path: 16x less H2D than int32 symbols
-        packed_pad = np.zeros(padded_n // 4, dtype=np.uint8)
-        packed_pad[: len(packed_text)] = packed_text
+    if n_exc == 0 or (
+        exc_cap is None and n_exc > max(4096, n_real // 16)
+    ):
+        return None
+    packed_pad = np.zeros(padded_n // 4, dtype=np.uint8)
+    packed_pad[: len(packed_text)] = packed_text
+    if exc_cap is None:
         exc_cap = max(64, 1 << int(max(n_exc - 1, 1)).bit_length())
-        exc_pos_pad = np.full(exc_cap, exc_pos[-1], dtype=np.int32)
-        exc_val_pad = np.full(exc_cap, exc_val[-1], dtype=np.int32)
-        exc_pos_pad[:n_exc] = exc_pos
-        exc_val_pad[:n_exc] = exc_val
+    assert n_exc <= exc_cap
+    exc_pos_pad = np.full(exc_cap, exc_pos[-1], dtype=np.int32)
+    exc_val_pad = np.full(exc_cap, exc_val[-1], dtype=np.int32)
+    exc_pos_pad[:n_exc] = exc_pos
+    exc_val_pad[:n_exc] = exc_val
+    return packed_pad, exc_pos_pad, exc_val_pad
+
+
+def device_text(
+    layout: BlockLayout, padded_n: int, force_dense: bool = False
+) -> jax.Array:
+    """Upload + reconstruct the padded int32 joint text on device.
+
+    Sparse-exception texts (the normal case) ship 2-bit base codes plus an
+    exception list (16x less H2D than int32 symbols); exception-dense texts
+    (thousands of tiny contigs) ship raw bytes with the separator scatter.
+    Both paths produce identical symbols (tested)."""
+    n_real = layout.n
+    nseg = len(layout.genome_ids)
+    ends = layout.seg_start[1:].astype(np.int64) - 1
+
+    arrays = None if force_dense else packed_text_arrays(layout, padded_n)
+    if arrays is not None:
+        packed_pad, exc_pos_pad, exc_val_pad = arrays
         return _build_device_text_packed(
             jnp.asarray(packed_pad), jnp.asarray(exc_pos_pad),
             jnp.asarray(exc_val_pad), jnp.int32(n_real),
         )
+    assert padded_n % 4 == 0, "bucket() must return a multiple of 4"
     # exception-dense text (e.g. thousands of tiny contigs) or none at all
     u8 = np.zeros(padded_n, dtype=np.uint8)
     u8[:n_real] = layout.u8

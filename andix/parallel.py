@@ -1,22 +1,30 @@
-"""Multi-chip pair-grid sharding over a TPU mesh.
+"""Multi-chip pair-grid execution over a TPU mesh.
 
 TPU-native replacement for the reference's OpenMP pair scheduler
-(``src/dist_hack.h``): the N×N comparison grid is sharded by *subject rows*
-across a 1-D device mesh ("s" axis).  Each device builds the joint suffix
-array for its subject block (device-local sorts), computes matching
-statistics for its subjects, and the per-row stat tiles are merged with an
-``all_gather`` over the mesh — collectives ride ICI instead of shared
-memory.  Queries are replicated (they are small: forward strands only).
+(``src/dist_hack.h:8,16``): the N×N comparison grid is sharded by *subject
+rows* across a 1-D device mesh ("s" axis).  Each device rebuilds its block's
+joint text from the 2-bit upload, builds the joint suffix array + LCP
+(fully traced fixed-round doubling + level-walk), computes matching
+statistics and replay tables for its local subjects, runs the on-device
+anchor replay, and the per-row [L, G, 16] substitution-count tiles are
+merged with an ``all_gather`` over the mesh — collectives ride ICI instead
+of shared memory.  Queries are replicated (forward strands only, small).
 
-The sharded step is fully traced (fixed doubling rounds, level-walk LCP from
-``device_pipeline``), so it works under ``jit`` + ``shard_map`` with no host
-round trips — validated by ``__graft_entry__.dryrun_multichip`` on a virtual
-CPU mesh.
+This is the production multi-device path: ``pipeline.calculate_matrix``
+dispatches here whenever more than one accelerator device is visible.
+``__graft_entry__.dryrun_multichip`` validates it numerically against the
+NumPy backend on a virtual CPU mesh.
+
+Multi-host scaffolding: ``maybe_init_distributed`` wires
+``jax.distributed.initialize`` from the standard coordinator env vars, so a
+pod-slice run only needs ANDIX_COORDINATOR/ANDIX_NUM_PROCESSES/
+ANDIX_PROCESS_ID (or the JAX defaults) set per host.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +48,30 @@ except ImportError:  # pragma: no cover - older jax (check_rep keyword)
             check_rep=False,
         )
 
-from .esa import device_pipeline
+from .esa import device_pipeline, matchstats_jax, rmq
+from .esa.backend_jax import _build_device_text_packed, _device_segid
+
+
+class ShardingUnsupported(Exception):
+    """Raised when a block cannot run under the sharded step (the caller
+    falls back to the serial schedule)."""
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host init (SURVEY.md §5 distributed backend row): call
+    ``jax.distributed.initialize`` when a coordinator is configured via
+    ANDIX_COORDINATOR[/ANDIX_NUM_PROCESSES/ANDIX_PROCESS_ID] or the JAX
+    auto-detected cluster env.  Single-host runs skip silently."""
+    coord = os.environ.get("ANDIX_COORDINATOR")
+    if coord is None:
+        return False
+    kwargs = {"coordinator_address": coord}
+    if "ANDIX_NUM_PROCESSES" in os.environ:
+        kwargs["num_processes"] = int(os.environ["ANDIX_NUM_PROCESSES"])
+    if "ANDIX_PROCESS_ID" in os.environ:
+        kwargs["process_id"] = int(os.environ["ANDIX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -50,52 +81,6 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("s",))
 
 
-def sharded_matchstats_fn(mesh: Mesh, rounds: int, local_subjects: int):
-    """Build the jitted sharded step.
-
-    Inputs (leading axis = device shard):
-      texts       int32[P, B]      padded joint text per device block
-      seg_starts  int64[P, S+1]    segment table per block
-      subj_segs   int32[P, L]      local subject segment ids (-1 = padding)
-      subj_starts int32[P, L]
-      tqs         int32[P, QB]     query text positions per block
-
-    Returns replicated (ml, un, ps) of shape [P, L, QB]: every device holds
-    all rows after the all_gather (the distance-matrix tile merge).
-    """
-
-    def per_device(text, seg_start, subj_seg, subj_start, tq):
-        text = text[0]
-        seg_start = seg_start[0]
-        tq = tq[0]
-        sa, levels = device_pipeline.suffix_array_with_levels(text, rounds)
-        lcp = device_pipeline.lcp_from_levels(sa, levels, text)
-        mls, uns, pss = [], [], []
-        for l in range(local_subjects):
-            ml, un, ps = device_pipeline.esa_matchstats_step(
-                text, seg_start, subj_seg[0, l], subj_start[0, l], tq, sa, lcp
-            )
-            mls.append(ml)
-            uns.append(un)
-            pss.append(ps)
-        ml = jnp.stack(mls)  # [L, QB]
-        un = jnp.stack(uns)
-        ps = jnp.stack(pss)
-        # merge row tiles across the mesh (ICI collective)
-        ml_all = jax.lax.all_gather(ml, "s")  # [P, L, QB]
-        un_all = jax.lax.all_gather(un, "s")
-        ps_all = jax.lax.all_gather(ps, "s")
-        return ml_all, un_all, ps_all
-
-    sharded = shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P("s"), P("s"), P("s"), P("s"), P("s")),
-        out_specs=(P(), P(), P()),
-    )
-    return jax.jit(sharded)
-
-
 def round_robin_blocks(n_subjects: int, n_devices: int) -> list[list[int]]:
     """Contiguous split of subject indices across devices."""
     per = -(-n_subjects // n_devices)
@@ -103,3 +88,185 @@ def round_robin_blocks(n_subjects: int, n_devices: int) -> list[list[int]]:
         list(range(d * per, min(n_subjects, (d + 1) * per)))
         for d in range(n_devices)
     ]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_counts_fn(
+    mesh: Mesh, rounds: int, exact: bool, jump_passes: int
+):
+    """The jitted sharded pair-grid step.
+
+    Per-device inputs (leading axis = mesh shard):
+      packed      uint8[P, B/4]   2-bit packed block text
+      exc_pos     int32[P, E]     exception positions (separators, joiners)
+      exc_val     int32[P, E]     exception symbol values
+      n_real      int32[P, 1]     real (unpadded) text length
+      seg_bounds  int32[P, S]     segment end boundaries (seg_start[1:])
+      tq_text     int32[P, QB]    text position of each query-blob element
+      subj_seg    int32[P, L]     local subject segment ids (-1 = padding)
+      subj_start  int32[P, L]     text base of each local subject's RS
+      rs_len      int32[P, L]
+      threshold   int32[P, L]
+      q_base      int32[P, G]     blob offset per query lane
+      q_start     int32[P, G]     text offset per query lane
+      q_len2d     int32[P, L, G]  query lengths (0 disables a lane)
+
+    Returns int32[P, L, G, 16]: all devices' count tiles, replicated after
+    the all_gather merge.
+    """
+    from .chain.replay_device import group_subject_tables, replay_rows_device
+
+    def per_device(
+        packed, exc_pos, exc_val, n_real, seg_bounds, tq_text,
+        subj_seg, subj_start, rs_len, threshold, q_base, q_start, q_len2d,
+    ):
+        sym = _build_device_text_packed(
+            packed[0], exc_pos[0], exc_val[0], n_real[0, 0]
+        )
+        sa, levels = device_pipeline.suffix_array_with_levels(sym, rounds)
+        lcp = device_pipeline.lcp_from_levels(sa, levels, sym)
+        segid = _device_segid(sa, seg_bounds[0])
+        isa = matchstats_jax.inverse_sa_device(sa)
+        tq = isa[tq_text[0]]
+        rm = rmq.build(lcp)
+        mlun, ps, jump = group_subject_tables(
+            sa, lcp, segid, tq,
+            subj_seg[0], subj_start[0], threshold[0], jump_passes,
+        )
+        counts = replay_rows_device(
+            sym, isa, rm, mlun, ps, jump,
+            subj_start[0], rs_len[0], threshold[0],
+            q_base[0], q_start[0], q_len2d[0], exact,
+        )
+        return jax.lax.all_gather(counts, "s")  # [P, L, G, 16]
+
+    spec = tuple(P("s") for _ in range(13))
+    return jax.jit(
+        shard_map(per_device, mesh=mesh, in_specs=spec, out_specs=P())
+    )
+
+
+def sharded_block_counts(
+    mesh: Mesh,
+    layouts: list,
+    block_subject_infos: list[list[tuple[int, int, int, int]]],
+    rounds: int,
+    exact: bool,
+    jump_passes: int = 3,
+):
+    """Run the sharded step over per-device block layouts.
+
+    ``block_subject_infos[d]`` lists (subj_seg, subj_start, rs_len,
+    threshold) per local subject of device d.  Returns
+    int64[P, L, G, 16] counts with L = max local subjects (padding rows
+    zero) and G = query lanes per block (identical across blocks).
+    """
+    from .esa.backend_jax import bucket, packed_text_arrays
+
+    n_dev = len(layouts)
+    B = max(bucket(l.n) for l in layouts)
+    L = max(len(b) for b in block_subject_infos)
+    S = max(len(l.seg_start) - 1 for l in layouts)
+    if S > 700:
+        # packed initial ranks clamp symbols to 10 bits; separator values
+        # 256+seg must stay below that (doubling._initial_ranks contract)
+        raise ShardingUnsupported(f"{S} segments per block (limit 700)")
+
+    packs, excps, excvs = [], [], []
+    for l in layouts:
+        arrays = packed_text_arrays(l, B)
+        if arrays is None:
+            raise ShardingUnsupported(
+                "exception-dense block text (thousands of tiny contigs)"
+            )
+        packs.append(arrays[0])
+        excps.append(arrays[1])
+        excvs.append(arrays[2])
+    exc_cap = 1 << (max(len(e) for e in excps) - 1).bit_length()
+
+    def repad(a):
+        out = np.full(exc_cap, a[-1], dtype=np.int32)
+        out[: len(a)] = a
+        return out
+
+    excps = [repad(e) for e in excps]
+    excvs = [repad(e) for e in excvs]
+
+    n_reals = np.array([[l.n] for l in layouts], dtype=np.int32)
+    seg_bounds = np.zeros((n_dev, S), dtype=np.int32)
+    for d, l in enumerate(layouts):
+        sb = l.seg_start[1:].astype(np.int32)
+        seg_bounds[d, : len(sb)] = sb
+        seg_bounds[d, len(sb):] = sb[-1] if len(sb) else 0
+
+    # query lane tables: identical genome set per block by construction
+    gp = max(
+        8, -(-max(len(l.genome_ids) for l in layouts) // 8) * 8
+    )
+    q_start = np.zeros((n_dev, gp), dtype=np.int32)
+    q_len = np.zeros((n_dev, gp), dtype=np.int32)
+    q_base = np.zeros((n_dev, gp), dtype=np.int32)
+    q_totals = []
+    for d, l in enumerate(layouts):
+        off = 0
+        for k, g in enumerate([int(g) for g in l.genome_ids]):
+            qs, qe = l.query_span(g)
+            q_start[d, k] = qs
+            q_len[d, k] = qe - qs
+            q_base[d, k] = off
+            off += qe - qs
+        q_totals.append(off)
+    QB = bucket(max(max(q_totals), 1))
+    tq_text = np.zeros((n_dev, QB), dtype=np.int32)
+    for d, l in enumerate(layouts):
+        pos = 0
+        for k, g in enumerate([int(g) for g in l.genome_ids]):
+            qs, qe = l.query_span(g)
+            tq_text[d, pos : pos + (qe - qs)] = np.arange(
+                qs, qe, dtype=np.int32
+            )
+            pos += qe - qs
+
+    subj_seg = np.full((n_dev, L), -1, dtype=np.int32)
+    subj_start = np.zeros((n_dev, L), dtype=np.int32)
+    rs_len = np.ones((n_dev, L), dtype=np.int32)
+    threshold = np.full((n_dev, L), 2**29, dtype=np.int32)
+    q_len2d = np.zeros((n_dev, L, gp), dtype=np.int32)
+    for d, infos in enumerate(block_subject_infos):
+        for k, (seg, start, rl, thr) in enumerate(infos):
+            subj_seg[d, k] = seg
+            subj_start[d, k] = start
+            rs_len[d, k] = rl
+            threshold[d, k] = thr
+            q_len2d[d, k] = q_len[d]
+
+    fn = _sharded_counts_fn(mesh, rounds, exact, jump_passes)
+    counts = fn(
+        jnp.asarray(np.stack(packs)),
+        jnp.asarray(np.stack(excps)),
+        jnp.asarray(np.stack(excvs)),
+        jnp.asarray(n_reals),
+        jnp.asarray(seg_bounds),
+        jnp.asarray(tq_text),
+        jnp.asarray(subj_seg),
+        jnp.asarray(subj_start),
+        jnp.asarray(rs_len),
+        jnp.asarray(threshold),
+        jnp.asarray(q_base),
+        jnp.asarray(q_start),
+        jnp.asarray(q_len2d),
+    )
+    return np.asarray(jax.device_get(counts), dtype=np.int64)
+
+
+def rounds_for(padded_n: int) -> int:
+    """Doubling rounds that guarantee full rank resolution for any text of
+    this padded size (no early-exit readbacks inside the traced step)."""
+    from .esa.doubling import BASE_WIDTH
+
+    r = 0
+    w = BASE_WIDTH
+    while w < padded_n:
+        w *= 2
+        r += 1
+    return r

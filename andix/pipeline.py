@@ -361,14 +361,27 @@ def calculate_matrix(
 
         devices = jax.devices()
 
-    if len(devices) > 1 and not ctx.low_memory:
-        # size blocks so every device gets work
-        query_total = sum((s.len - 1) // 2 + 1 for s in subjects)
-        subj_total = sum(subjects[i].len + 1 for i in todo)
-        per_dev = subj_total // len(devices) + max(
-            subjects[i].len + 1 for i in todo
-        )
-        block_syms = min(block_syms, query_total + per_dev)
+    if (
+        len(devices) > 1
+        and not ctx.low_memory
+        and len(todo) > 1
+        and os.environ.get("ANDIX_SHARDED", "1") != "0"
+    ):
+        # production multi-chip path: subject rows sharded over the mesh,
+        # count tiles merged with all_gather (andix.parallel)
+        from .parallel import ShardingUnsupported
+
+        try:
+            _process_sharded(
+                todo, seqs, subjects, ctx, M, progress, devices, ckpt
+            )
+            return M
+        except ShardingUnsupported as e:
+            print(
+                f"andix: multi-device sharding unavailable ({e}); "
+                f"running the serial schedule.",
+                file=__import__("sys").stderr,
+            )
 
     blocks = [
         [todo[k] for k in blk]
@@ -376,30 +389,112 @@ def calculate_matrix(
             [subjects[i] for i in todo], block_syms, ctx.low_memory
         )
     ]
-
-    if len(devices) > 1 and len(blocks) > 1:
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
-
-        import jax
-
-        lock = threading.Lock()
-
-        def run(idx_block):
-            idx, block = idx_block
-            dev = devices[idx % len(devices)]
-            with jax.default_device(dev):
-                _process_block(
-                    block, seqs, subjects, ctx, backend, M, progress, lock,
-                    ckpt=ckpt,
-                )
-
-        with ThreadPoolExecutor(max_workers=len(devices)) as ex:
-            list(ex.map(run, enumerate(blocks)))
-    else:
-        for block in blocks:
-            _process_block(
-                block, seqs, subjects, ctx, backend, M, progress, ckpt=ckpt
-            )
+    for block in blocks:
+        _process_block(
+            block, seqs, subjects, ctx, backend, M, progress, ckpt=ckpt
+        )
 
     return M
+
+
+def _process_sharded(
+    todo: list[int],
+    seqs: list[Seq],
+    subjects: list[Subject],
+    ctx: Context,
+    M,
+    progress,
+    devices,
+    ckpt: "TileCheckpoint | None",
+) -> None:
+    """Sharded pair grid: one block of subject rows per device, full
+    text→SA→stats→replay chain under shard_map, tiles merged on-mesh.
+
+    Output is identical to the serial schedule (tested): the per-block
+    computation is the same device program as the single-chip path, only
+    the scheduling and the count-tile merge differ."""
+    from . import parallel
+
+    n = len(seqs)
+    n_dev = len(devices)
+    mesh = parallel.make_mesh()
+    dev_blocks = [
+        [todo[k] for k in blk]
+        for blk in parallel.round_robin_blocks(len(todo), n_dev)
+        if blk
+    ]
+    while len(dev_blocks) < n_dev:  # pad the mesh with repeat work
+        dev_blocks.append(dev_blocks[-1])
+
+    row_acc: dict[int, dict[int, CountMatrix]] = {i: {} for i in todo}
+    exact = ctx.model in (Model.LOGDET, Model.ANI)
+    max_query_syms = int(
+        os.environ.get("ANDIX_MAX_QUERY_SYMS", str(1 << 28))
+    )
+
+    # all devices must agree on the query chunking: derive it from the
+    # union block (out-of-block sets differ per device; chunk the full
+    # genome list and drop in-block genomes per device at publish time)
+    all_chunks = _query_chunks([], n, seqs, max_query_syms)
+
+    for chunk_idx, qchunk in enumerate(all_chunks):
+        layouts = []
+        infos = []
+        for block in dev_blocks:
+            subject_rs = {i: subjects[i].rs for i in block}
+            query_seqs = {
+                j: seqs[j].data for j in qchunk if j not in set(block)
+            }
+            layout = joint.build_block(subject_rs, query_seqs)
+            layouts.append(layout)
+            block_infos = []
+            for i in block:
+                seg = int(
+                    np.nonzero(
+                        (layout.genome_ids == i) & layout.is_subject
+                    )[0][0]
+                )
+                block_infos.append(
+                    (
+                        seg,
+                        int(layout.seg_start[seg]),
+                        subjects[i].len,
+                        subjects[i].threshold,
+                    )
+                )
+            infos.append(block_infos)
+
+        from .esa.backend_jax import bucket
+
+        rounds = parallel.rounds_for(max(bucket(l.n) for l in layouts))
+        counts = parallel.sharded_block_counts(
+            mesh, layouts, infos, rounds, exact
+        )
+
+        seen = set()
+        for d, block in enumerate(dev_blocks):
+            layout = layouts[d]
+            wanted = set(qchunk)
+            if chunk_idx == 0:
+                wanted |= set(block)
+            for k, i in enumerate(block):
+                if i in seen:  # repeated pad block
+                    continue
+                done = 0
+                for g, qgenome in enumerate(
+                    [int(g) for g in layout.genome_ids]
+                ):
+                    if qgenome == i or qgenome not in wanted:
+                        continue
+                    qs, qe = layout.query_span(qgenome)
+                    cm = CountMatrix(counts[d, k, g].copy(), qe - qs)
+                    M[i][qgenome] = cm
+                    row_acc[i][qgenome] = cm
+                    done += 1
+                if progress is not None and done:
+                    progress.advance(done)
+            seen.update(block)
+
+    if ckpt is not None:
+        for i in todo:
+            ckpt.save_row(i, n, row_acc[i])

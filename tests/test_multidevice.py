@@ -1,13 +1,16 @@
-"""Multi-device tests on the 8-virtual-CPU mesh: block distribution across
-devices and the shard_map dryrun path."""
+"""Multi-device tests on the 8-virtual-CPU mesh: the sharded pair grid
+(shard_map + all_gather tile merge) must be exactly equal to the serial
+schedules — the reference's mode-equivalence requirement
+(test/test_extra.sh:19-22) extended to the TPU-native parallel layout."""
 
 import numpy as np
+import pytest
 
 import jax
 
-from andix import pipeline
+from andix import parallel, pipeline
 from andix.esa.backend_jax import JaxBackend
-from andix.runtime import Context
+from andix.runtime import Context, Model
 from andix.sequence import Seq
 
 
@@ -15,31 +18,94 @@ def grid_counts(M, n):
     return np.stack([[M[i][j].counts for j in range(n)] for i in range(n)])
 
 
-class TestDeviceDistribution:
-    def test_multidevice_equals_single(self, rng, dna, mutator):
-        assert len(jax.devices()) == 8
-        base = dna(rng, 600)
-        seqs = [Seq(base, "g0")] + [
-            Seq(mutator(rng, base, 0.02 + 0.02 * k), f"g{k+1}")
-            for k in range(5)
-        ]
-        ctx = Context()
+def make_family(rng, dna, mutator, n, length):
+    base = dna(rng, length)
+    return [Seq(base, "g0")] + [
+        Seq(mutator(rng, base, 0.02 + 0.02 * k), f"g{k+1}")
+        for k in range(n - 1)
+    ]
+
+
+class TestShardedPairGrid:
+    def _run_all(self, seqs, ctx, monkeypatch):
         n = len(seqs)
-        single = pipeline.calculate_matrix(
-            seqs, ctx, JaxBackend(), block_syms=1 << 27
+        misses = parallel._sharded_counts_fn.cache_info()
+        sharded = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        monkeypatch.setenv("ANDIX_SHARDED", "0")
+        serial_jax = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        serial_np = pipeline.calculate_matrix(seqs, ctx)
+        monkeypatch.delenv("ANDIX_SHARDED")
+        return n, sharded, serial_jax, serial_np
+
+    def test_sharded_equals_serial(self, rng, dna, mutator, monkeypatch):
+        assert len(jax.devices()) == 8
+        seqs = make_family(rng, dna, mutator, 6, 600)
+        info = parallel._sharded_counts_fn.cache_info()
+        before = info.hits + info.misses
+        n, sharded, serial_jax, serial_np = self._run_all(
+            seqs, Context(), monkeypatch
         )
-        # small blocks force one block per device
-        multi = pipeline.calculate_matrix(
-            seqs, ctx, JaxBackend(), block_syms=6000
+        info = parallel._sharded_counts_fn.cache_info()
+        assert info.hits + info.misses > before
+        assert (grid_counts(sharded, n) == grid_counts(serial_jax, n)).all()
+        assert (grid_counts(sharded, n) == grid_counts(serial_np, n)).all()
+
+    def test_sharded_exact_counts_model(self, rng, dna, mutator, monkeypatch):
+        """LogDet switches the replay to exact equal-anchor counting."""
+        seqs = make_family(rng, dna, mutator, 5, 500)
+        ctx = Context(model=Model.LOGDET)
+        n, sharded, serial_jax, serial_np = self._run_all(
+            seqs, ctx, monkeypatch
         )
-        assert (grid_counts(single, n) == grid_counts(multi, n)).all()
+        assert (grid_counts(sharded, n) == grid_counts(serial_jax, n)).all()
+        assert (grid_counts(sharded, n) == grid_counts(serial_np, n)).all()
+
+    def test_sharded_query_chunking(self, rng, dna, mutator, monkeypatch):
+        """Query chunks loop outside the sharded step; the merged grid must
+        not depend on the chunking."""
+        seqs = make_family(rng, dna, mutator, 6, 400)
+        n = len(seqs)
+        one = pipeline.calculate_matrix(seqs, Context(), JaxBackend())
+        monkeypatch.setenv("ANDIX_MAX_QUERY_SYMS", "900")
+        chunked = pipeline.calculate_matrix(seqs, Context(), JaxBackend())
+        assert (grid_counts(one, n) == grid_counts(chunked, n)).all()
+
+    def test_more_subjects_than_devices(self, rng, dna, mutator, monkeypatch):
+        seqs = make_family(rng, dna, mutator, 19, 250)
+        n, sharded, _, serial_np = self._run_all(seqs, Context(), monkeypatch)
+        assert (grid_counts(sharded, n) == grid_counts(serial_np, n)).all()
+
+    def test_fewer_subjects_than_devices(self, rng, dna, mutator, monkeypatch):
+        seqs = make_family(rng, dna, mutator, 3, 300)
+        n, sharded, _, serial_np = self._run_all(seqs, Context(), monkeypatch)
+        assert (grid_counts(sharded, n) == grid_counts(serial_np, n)).all()
+
+    def test_sharded_checkpoint_rows(self, rng, dna, mutator, tmp_path):
+        """Checkpoint rows written by the sharded path must resume."""
+        seqs = make_family(rng, dna, mutator, 4, 300)
+        ctx = Context(checkpoint_dir=str(tmp_path / "ck"))
+        first = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        orig = pipeline._process_sharded
+        calls = {"n": 0}
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        pipeline._process_sharded = counting
+        try:
+            second = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        finally:
+            pipeline._process_sharded = orig
+        assert calls["n"] == 0
+        assert (grid_counts(first, 4) == grid_counts(second, 4)).all()
 
 
 class TestShardMapDryrun:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 
-        ge.dryrun_multichip(8)
+        ge.dryrun_multichip(4)
 
     def test_entry_compiles(self):
         import __graft_entry__ as ge
