@@ -1,4 +1,4 @@
-"""On-device anchor-chain replay (JAX, vmapped over query lanes).
+"""On-device anchor-chain replay (JAX, one lock-step loop for all lanes).
 
 The reference's per-pair scan (``dist_anchor``, src/process.c:141-214) is
 sequential in the visited positions, but each visit is O(1) given:
@@ -9,19 +9,32 @@ sequential in the visited positions, but each visit is O(1) given:
   (``esa.rmq``: LCE(a,b) = range-min of adjacent LCPs between the ISA
   positions) replacing the reference's byte loop (src/process.c:59-65).
 
-So the whole pair row replays as one ``lax.while_loop`` vmapped across all
-queries of a subject — ~query_len/avg_anchor iterations in lock step — and
-only the 16 substitution counts per pair ever leave the device.  Substitution
-counting in anchor gaps (``model_count`` semantics, src/model.c:309-337)
-runs as 128-wide masked chunks inside the loop.
+All (subject, query) lanes of a subject group advance in ONE
+``lax.while_loop`` over [Sg, G]-shaped state — not a vmapped per-lane loop:
+with explicit batching the two expensive phases can be skipped by *scalar*
+``lax.cond`` when no lane needs them (vmap would turn the conds into
+selects that execute both branches):
 
-This is the production replay for the JAX backend; the native C++ replay
+* the substitution/equal counting chunks (2 × COUNT_CHUNK text gathers per
+  lane) run only while some lane has a pending interval,
+* the RMQ-backed lucky-anchor extension runs only while some lane's gap to
+  its last anchor is within the threshold.
+
+Anchor-free stretches (diverged pairs, where the scan is pure
+``pos += len + 1`` skipping) cross many chain steps per iteration: the
+pointer-doubled jump table resolves 2^jump_passes steps per probe, and an
+unrolled in-loop chase follows it several more hops — tiny [Sg, G] gathers
+instead of more full-size table passes.
+
+Only the 16 substitution counts per pair ever leave the device.  This is
+the production replay for the JAX backend; the native C++ replay
 (``andix.native``) remains as host fallback and cross-check oracle.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +42,9 @@ import jax.numpy as jnp
 from ..esa import rmq
 
 A_BYTE = jnp.int32(65)
-COUNT_CHUNK = 256  # sites classified per loop iteration and lane
+# sites classified per loop iteration and lane / in-loop jump-chase hops
+COUNT_CHUNK = int(os.environ.get("ANDIX_COUNT_CHUNK", "256"))
+JUMP_CHASE = int(os.environ.get("ANDIX_JUMP_CHASE", "8"))
 
 # cell layout: index = (from << 2) | to, A=0 C=1 G=2 T=3 (src/model.h:14-32)
 _DIAG = jnp.zeros(16, jnp.int32).at[jnp.array([0, 5, 10, 15])].set(1)
@@ -69,7 +84,9 @@ def prepare_subject_tables(
     stretches in one step with identical semantics (intermediate probes
     have no side effects; a chain crossing a genome boundary lands past the
     lane's span and simply terminates the lane).  Partial resolution after
-    ``jump_passes`` is still correct: the replay just jumps again."""
+    ``jump_passes`` is still correct: the replay just jumps again (and
+    chases the table a few extra hops in-loop, see ``replay_rows_device``).
+    Candidates are exactly the fixed points (jump[v] == v)."""
     qb = tq.shape[0]
     # pack in SA order first so the blob reorder is two gathers, not three
     mlun_sa = ml_sa | jnp.where(un_sa, UNIQ_BIT, 0)
@@ -113,43 +130,82 @@ def group_subject_tables(
     return jax.vmap(one)(subj_segs, subj_starts, thresholds)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("jump_passes", "exact_counts")
+)
+def subject_group_counts_device(
+    sa, lcp, segid, tq, text, isa, rm,
+    subj_segs, subj_starts, rs_lens, thresholds,
+    q_base, q_start, q_len2d,
+    jump_passes: int, exact_counts: bool,
+):
+    """Fused tables + replay: ONE device dispatch per subject group instead
+    of two — dispatch latency is seconds on degraded tunneled links."""
+    mlun, ps, jump = group_subject_tables(
+        sa, lcp, segid, tq, subj_segs, subj_starts, thresholds, jump_passes
+    )
+    return replay_rows_device(
+        text, isa, rm, mlun, ps, jump, subj_starts, rs_lens, thresholds,
+        q_base, q_start, q_len2d, exact_counts,
+    )
+
+
 def _hist16(idx, ok):
-    onehot = (idx[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]) & ok[:, None]
-    return onehot.sum(axis=0, dtype=jnp.int32)
+    """idx/ok [..., C] -> [..., 16] histogram of masked cell indices."""
+    onehot = (idx[..., None] == jnp.arange(16, dtype=jnp.int32)) & ok[..., None]
+    return onehot.sum(axis=-2, dtype=jnp.int32)
 
 
 def _equal_counts_split(length):
     """len/4 per diagonal cell, remainder on TtoT (model_count_equal fast
-    path, src/model.c:247-253)."""
-    return (length // 4) * _DIAG + (length & 3) * _TTTT
+    path, src/model.c:247-253).  ``length`` [...,] -> [..., 16]."""
+    return (length // 4)[..., None] * _DIAG + (length & 3)[..., None] * _TTTT
 
 
-def _replay_impl(
-    text: jax.Array,  # int32[Np] padded block text
-    isa: jax.Array,  # int32[Np]
-    rm: rmq.RangeMin,  # over the adjacent-LCP array
-    mlun_b: jax.Array,  # int32[QB] blob-order packed matchlen | unique<<30
-    ps_b: jax.Array,  # int32[QB] blob-order subject positions
-    jump_b: jax.Array,  # int32[QB] anchor-candidate jump table (blob coords)
-    subj_start: jax.Array,  # scalar: text base of RS_i
-    rs_len: jax.Array,  # scalar
-    threshold: jax.Array,  # scalar
+@functools.partial(
+    jax.jit, static_argnames=("exact_counts", "chunk", "chase")
+)
+def replay_rows_device(
+    text,  # int32[Np] padded block text
+    isa,  # int32[Np]
+    rm,  # rmq.RangeMin over the adjacent-LCP array
+    mlun_b,  # int32[Sg, QB] packed blob-order stats per grouped subject
+    ps_b,  # int32[Sg, QB]
+    jump_b,  # int32[Sg, QB]
+    subj_start,  # int32[Sg] text base of each RS_i
+    rs_len,  # int32[Sg]
+    threshold,  # int32[Sg]
+    q_base,  # int32[G] blob offset of each query lane
+    q_start,  # int32[G] text offset of each query lane
+    q_len2d,  # int32[Sg, G] (0 disables a lane, e.g. dummy subjects)
     exact_counts: bool,
+    chunk: int = COUNT_CHUNK,
+    chase: int = JUMP_CHASE,
 ):
-    """Returns one_query(qbase, qs, qlen) -> int32[16] for this subject
-    (to be vmapped over query lanes by the callers below); ``qbase`` is the
-    lane's blob offset, ``qs`` its text offset.
+    """Grouped replay; returns int32[Sg, G, 16] substitution counts.
 
-    The loop does *uniform work per iteration*: either one probe/chain step
-    or one COUNT_CHUNK-site slice of pending substitution/equal counting.
-    Counting intervals produced by a probe are queued (gap; plus two equal
-    slots in exact mode) and consumed by subsequent iterations.  Under vmap
-    this keeps all lanes busy every iteration — a lane with a long gap to
-    classify no longer stalls the whole group in a nested loop, and total
-    iterations per lane ≈ #probes + counted_sites/COUNT_CHUNK."""
-    border = rs_len // 2
+    Uniform work per lane-iteration: either one probe/jump step or one
+    ``chunk``-site slice of pending substitution/equal counting.  Counting
+    intervals produced by a probe are queued (gap; plus two equal slots in
+    exact mode) and consumed by subsequent iterations — including one slice
+    in the probe's own iteration, so the common short gap costs no extra
+    loop trip."""
+    sg, qb = mlun_b.shape
+    g = q_base.shape[0]
     n = text.shape[0]
-    offs = jnp.arange(COUNT_CHUNK, dtype=jnp.int32)
+    offs = jnp.arange(chunk, dtype=jnp.int32)
+
+    qbase = jnp.broadcast_to(q_base[None, :], (sg, g))
+    qs = jnp.broadcast_to(q_start[None, :], (sg, g))
+    qlen = q_len2d
+    thr = threshold[:, None]
+    ss = subj_start[:, None]
+    rl = rs_len[:, None]
+    border = rl // 2
+
+    def row_take(table, idx):
+        """table [Sg, QB] gathered at per-lane indices idx [Sg, G]."""
+        return jnp.take_along_axis(table, idx, axis=1)
 
     def lce(a_text, b_text):
         t1 = isa[a_text]
@@ -158,200 +214,217 @@ def _replay_impl(
         hi = jnp.maximum(t1, t2)
         return rmq.range_min(rm, lo, hi)
 
-    def gap_chunk(s_base, q_base, clen):
+    def gap_hist(s_base, q_base_, clen):
         """Substitution histogram over one chunk (model_count semantics,
-        src/model.c:309-337): classify text[s_base+i] vs text[q_base+i],
+        src/model.c:309-337): classify text[s_base+i] vs text[q_base_+i],
         i < clen, skipping separator symbols."""
-        valid = offs < clen
-        s = text[jnp.minimum(s_base + offs, n - 1)]
-        q = text[jnp.minimum(q_base + offs, n - 1)]
+        valid = offs < clen[..., None]
+        s = text[jnp.minimum(s_base[..., None] + offs, n - 1)]
+        q = text[jnp.minimum(q_base_[..., None] + offs, n - 1)]
         ok = valid & (s >= A_BYTE) & (q >= A_BYTE) & (s < 256) & (q < 256)
         idx = (_nucl2bit(s) << 2) | _nucl2bit(q)
         return _hist16(idx, ok)
 
-    def eq_chunk(base, clen):
+    def eq_hist(base, clen):
         """Exact equal-anchor classification chunk (model_count_equal exact
         path, src/model.c:259-278)."""
-        valid = offs < clen
-        s = text[jnp.minimum(base + offs, n - 1)]
+        valid = offs < clen[..., None]
+        s = text[jnp.minimum(base[..., None] + offs, n - 1)]
         ok = valid & (s >= A_BYTE) & (s < 256)
         cell = _EQ_CELL[(s >> 1) & 3]
         return _hist16(cell, ok)
 
-    def one_query(qbase, qs, qlen):
-        # state: chain (pos_q, last_q, last_s, last_len, last_right, fin),
-        # gap-count cursor (gp_s, gp_q, gp_rem),
-        # exact mode adds two equal-count slots (eq0_p, eq0_rem, eq1_p,
-        # eq1_rem) — a probe can enqueue the previous anchor (count_last)
-        # and, when it also finishes the chain, the trailing anchor.
-        def cond(state):
-            fin, gp_rem = state[5], state[8]
-            pending = gp_rem > 0
-            if exact_counts:
-                pending = pending | (state[10] > 0) | (state[12] > 0)
-            return (~fin) | pending
-
-        def body(state):
-            (pos_q, last_q, last_s, last_len, last_right, fin,
-             gp_s, gp_q, gp_rem) = state[:9]
-            if exact_counts:
-                eq0_p, eq0_rem, eq1_p, eq1_rem, counts = state[9:]
-                promote = (eq0_rem == 0) & (eq1_rem > 0)
-                eq0_p = jnp.where(promote, eq1_p, eq0_p)
-                eq0_rem = jnp.where(promote, eq1_rem, eq0_rem)
-                eq1_rem = jnp.where(promote, 0, eq1_rem)
-                busy_eq = eq0_rem > 0
-            else:
-                counts = state[9]
-                busy_eq = jnp.bool_(False)
-
-            busy_gp = gp_rem > 0
-            probe = (~fin) & (~busy_eq) & (~busy_gp)
-
-            # while the gap exceeds the threshold no lucky anchor can fire
-            # (the gap grows monotonically along the probe chain), so the
-            # chain to the next anchor candidate is precomputed: jump there.
-            gap0 = pos_q - last_q - last_len
-            safe_q = jnp.where(probe, pos_q, 0)  # probe => pos_q < qlen <= QB
-            pos_qj = jnp.where(
-                probe & (gap0 > threshold), jump_b[qbase + safe_q] - qbase,
-                pos_q,
-            )
-            in_range = probe & (pos_qj < qlen)
-            probe_b = qbase + jnp.where(in_range, pos_qj, 0)
-            probe_t = qs + jnp.where(in_range, pos_qj, 0)
-
-            # lucky anchor (src/process.c:82-100)
-            advance = pos_qj - last_q
-            gap = advance - last_len
-            try_s = last_s + advance
-            lucky_pre = (
-                in_range & (try_s < rs_len) & (gap >= 0) & (gap <= threshold)
-            )
-            lucky_len = jnp.where(
-                lucky_pre,
-                lce(probe_t, subj_start + jnp.where(lucky_pre, try_s, 0)),
-                0,
-            )
-            lucky_found = lucky_pre & (lucky_len >= threshold)
-
-            # full-search anchor via precomputed stats (src/process.c:113-123)
-            v = mlun_b[probe_b]
-            aml = v & (UNIQ_BIT - 1)
-            aun = (v & UNIQ_BIT) != 0
-            found = in_range & (lucky_found | (aun & (aml >= threshold)))
-            this_len = jnp.where(lucky_found, lucky_len, aml)
-            this_s = jnp.where(lucky_found, try_s, ps_b[probe_b])
-
-            # diagonal pairing (src/process.c:160-189)
-            end_s = last_s + last_len
-            end_q = last_q + last_len
-            paired = (
-                found
-                & (this_s > end_s)
-                & (pos_qj - end_q == this_s - end_s)
-                & ((this_s < border) == (last_s < border))
-            )
-            count_last = paired | (
-                found & ~paired & (last_right | (last_len >= 2 * threshold))
-            )
-            if exact_counts:
-                eq0_p = jnp.where(count_last, qs + last_q, eq0_p)
-                eq0_rem = jnp.where(count_last, last_len, eq0_rem)
-            else:
-                counts = counts + _equal_counts_split(last_len) * jnp.where(
-                    count_last, 1, 0
-                )
-            gp_s = jnp.where(paired, subj_start + end_s, gp_s)
-            gp_q = jnp.where(paired, qs + end_q, gp_q)
-            gp_rem = jnp.where(paired, pos_qj - end_q, gp_rem)
-
-            last_q = jnp.where(found, pos_qj, last_q)
-            last_s = jnp.where(found, this_s, last_s)
-            last_len = jnp.where(found, this_len, last_len)
-            last_right = jnp.where(found, paired, last_right)
-            pos_q = jnp.where(probe, pos_qj + this_len + 1, pos_q)
-
-            # chain finished: identical-sequence and trailing-anchor cases
-            # (src/process.c:199-211), enqueued exactly once
-            done_now = probe & (pos_q >= qlen)
-            identical = last_len >= qlen
-            trail = (~identical) & (last_right | (last_len >= 2 * threshold))
-            if exact_counts:
-                fin_p = jnp.where(identical, qs, qs + last_q)
-                fin_rem = jnp.where(
-                    identical, qlen, jnp.where(trail, last_len, 0)
-                )
-                eq1_p = jnp.where(done_now, fin_p, eq1_p)
-                eq1_rem = jnp.where(done_now, fin_rem, eq1_rem)
-            else:
-                counts = counts + _equal_counts_split(qlen) * jnp.where(
-                    done_now & identical, 1, 0
-                )
-                counts = counts + _equal_counts_split(last_len) * jnp.where(
-                    done_now & trail, 1, 0
-                )
-            fin = fin | done_now
-
-            # consume one chunk from each pending interval — including one
-            # this probe just enqueued, so the common short gap is counted
-            # in the probe's own iteration (no extra loop trip)
-            if exact_counts:
-                ce = jnp.minimum(eq0_rem, COUNT_CHUNK)
-                counts = counts + eq_chunk(eq0_p, ce)
-                eq0_p = eq0_p + ce
-                eq0_rem = eq0_rem - ce
-            cg = jnp.minimum(gp_rem, COUNT_CHUNK)
-            counts = counts + gap_chunk(gp_s, gp_q, cg)
-            gp_s = gp_s + cg
-            gp_q = gp_q + cg
-            gp_rem = gp_rem - cg
-
-            out = (pos_q, last_q, last_s, last_len, last_right, fin,
-                   gp_s, gp_q, gp_rem)
-            if exact_counts:
-                return out + (eq0_p, eq0_rem, eq1_p, eq1_rem, counts)
-            return out + (counts,)
-
-        z = jnp.int32(0)
-        init = (z, z, z, z, jnp.bool_(False), qlen <= 0, z, z, z)
+    # state: chain (pos_q, last_q, last_s, last_len, last_right, fin),
+    # gap-count cursor (gp_s, gp_q, gp_rem),
+    # exact mode adds two equal-count slots (eq0_p, eq0_rem, eq1_p,
+    # eq1_rem) — a probe can enqueue the previous anchor (count_last)
+    # and, when it also finishes the chain, the trailing anchor.
+    def cond(state):
+        fin, gp_rem = state[5], state[8]
+        pending = gp_rem > 0
         if exact_counts:
-            init = init + (z, z, z, z, jnp.zeros(16, jnp.int32))
+            pending = pending | (state[10] > 0) | (state[12] > 0)
+        return jnp.any((~fin) | pending)
+
+    def probe_phase(state):
+        (pos_q, last_q, last_s, last_len, last_right, fin,
+         gp_s, gp_q, gp_rem) = state[:9]
+        if exact_counts:
+            eq0_p, eq0_rem, eq1_p, eq1_rem, counts = state[9:]
+            busy_eq = eq0_rem > 0
         else:
-            init = init + (jnp.zeros(16, jnp.int32),)
-        final = jax.lax.while_loop(cond, body, init)
-        return final[-1]
+            counts = state[9]
+            busy_eq = jnp.bool_(False)
 
-    return one_query
+        busy_gp = gp_rem > 0
+        probe = (~fin) & (~busy_eq) & (~busy_gp)
 
-
-@functools.partial(jax.jit, static_argnames=("exact_counts",))
-def replay_rows_device(
-    text,  # int32[Np]
-    isa,
-    rm,
-    mlun_b,  # int32[Sg, QB] packed blob-order stats per grouped subject
-    ps_b,  # int32[Sg, QB]
-    jump_b,  # int32[Sg, QB]
-    subj_start,  # int32[Sg]
-    rs_len,  # int32[Sg]
-    threshold,  # int32[Sg]
-    q_base,  # int32[G] blob offset of each query lane
-    q_start,  # int32[G] text offset of each query lane
-    q_len2d,  # int32[Sg, G] (0 disables a lane, e.g. dummy subjects)
-    exact_counts: bool,
-):
-    """Grouped replay: all (subject, query) lanes of a subject group advance
-    in one lock-step while_loop — the per-iteration dispatch cost is paid
-    once for the whole group instead of once per subject (the measured
-    bottleneck on tunneled devices)."""
-
-    def per_subject(mlun, ps, jt, ss, rl, th, qlen_row):
-        fn = _replay_impl(
-            text, isa, rm, mlun, ps, jt, ss, rl, th, exact_counts
+        # while the gap exceeds the threshold no lucky anchor can fire
+        # (the gap grows monotonically along the probe chain), so the
+        # chain to the next anchor candidate is precomputed: jump there,
+        # then chase the partially-resolved table a few more hops.
+        gap0 = pos_q - last_q - last_len
+        took = probe & (gap0 > thr)
+        safe_q = jnp.where(probe, pos_q, 0)  # probe => pos_q < qlen <= QB
+        pos_qj = jnp.where(
+            took, row_take(jump_b, qbase + safe_q) - qbase, pos_q
         )
-        return jax.vmap(fn)(q_base, q_start, qlen_row)
+        for _ in range(chase):
+            can = took & (pos_qj < qlen)
+            safe_j = jnp.where(can, pos_qj, 0)
+            nxt = row_take(jump_b, qbase + safe_j) - qbase
+            pos_qj = jnp.where(can & (nxt != pos_qj), nxt, pos_qj)
+        in_range = probe & (pos_qj < qlen)
+        probe_b = qbase + jnp.where(in_range, pos_qj, 0)
+        probe_t = qs + jnp.where(in_range, pos_qj, 0)
 
-    return jax.vmap(per_subject)(
-        mlun_b, ps_b, jump_b, subj_start, rs_len, threshold, q_len2d
-    )
+        # lucky anchor (src/process.c:82-100); the RMQ LCE runs only when
+        # some lane is within threshold of its last anchor
+        advance = pos_qj - last_q
+        gap = advance - last_len
+        try_s = last_s + advance
+        lucky_pre = (
+            in_range & (try_s < rl) & (gap >= 0) & (gap <= thr)
+        )
+        lucky_len = jax.lax.cond(
+            jnp.any(lucky_pre),
+            lambda: jnp.where(
+                lucky_pre,
+                lce(probe_t, ss + jnp.where(lucky_pre, try_s, 0)),
+                0,
+            ),
+            lambda: jnp.zeros((sg, g), jnp.int32),
+        )
+        lucky_found = lucky_pre & (lucky_len >= thr)
+
+        # full-search anchor via precomputed stats (src/process.c:113-123)
+        v = row_take(mlun_b, probe_b)
+        aml = v & (UNIQ_BIT - 1)
+        aun = (v & UNIQ_BIT) != 0
+        found = in_range & (lucky_found | (aun & (aml >= thr)))
+        this_len = jnp.where(lucky_found, lucky_len, aml)
+        this_s = jnp.where(lucky_found, try_s, row_take(ps_b, probe_b))
+
+        # diagonal pairing (src/process.c:160-189)
+        end_s = last_s + last_len
+        end_q = last_q + last_len
+        paired = (
+            found
+            & (this_s > end_s)
+            & (pos_qj - end_q == this_s - end_s)
+            & ((this_s < border) == (last_s < border))
+        )
+        count_last = paired | (
+            found & ~paired & (last_right | (last_len >= 2 * thr))
+        )
+        if exact_counts:
+            eq0_p = jnp.where(count_last, qs + last_q, eq0_p)
+            eq0_rem = jnp.where(count_last, last_len, eq0_rem)
+        else:
+            counts = counts + _equal_counts_split(last_len) * jnp.where(
+                count_last, 1, 0
+            )[..., None]
+        gp_s = jnp.where(paired, ss + end_s, gp_s)
+        gp_q = jnp.where(paired, qs + end_q, gp_q)
+        gp_rem = jnp.where(paired, pos_qj - end_q, gp_rem)
+
+        last_q = jnp.where(found, pos_qj, last_q)
+        last_s = jnp.where(found, this_s, last_s)
+        last_len = jnp.where(found, this_len, last_len)
+        last_right = jnp.where(found, paired, last_right)
+        pos_q = jnp.where(probe, pos_qj + this_len + 1, pos_q)
+
+        # chain finished: identical-sequence and trailing-anchor cases
+        # (src/process.c:199-211), enqueued exactly once
+        done_now = probe & (pos_q >= qlen)
+        identical = last_len >= qlen
+        trail = (~identical) & (last_right | (last_len >= 2 * thr))
+        if exact_counts:
+            fin_p = jnp.where(identical, qs, qs + last_q)
+            fin_rem = jnp.where(
+                identical, qlen, jnp.where(trail, last_len, 0)
+            )
+            eq1_p = jnp.where(done_now, fin_p, eq1_p)
+            eq1_rem = jnp.where(done_now, fin_rem, eq1_rem)
+        else:
+            counts = counts + _equal_counts_split(qlen) * jnp.where(
+                done_now & identical, 1, 0
+            )[..., None]
+            counts = counts + _equal_counts_split(last_len) * jnp.where(
+                done_now & trail, 1, 0
+            )[..., None]
+        fin = fin | done_now
+
+        out = (pos_q, last_q, last_s, last_len, last_right, fin,
+               gp_s, gp_q, gp_rem)
+        if exact_counts:
+            return out + (eq0_p, eq0_rem, eq1_p, eq1_rem, counts)
+        return out + (counts,)
+
+    def chunk_phase(state):
+        # consume one chunk from each pending interval — including one a
+        # probe just enqueued, so the common short gap is counted in the
+        # probe's own iteration (no extra loop trip)
+        (pos_q, last_q, last_s, last_len, last_right, fin,
+         gp_s, gp_q, gp_rem) = state[:9]
+        if exact_counts:
+            eq0_p, eq0_rem, eq1_p, eq1_rem, counts = state[9:]
+            ce = jnp.minimum(eq0_rem, chunk)
+            counts = counts + eq_hist(eq0_p, ce)
+            eq0_p = eq0_p + ce
+            eq0_rem = eq0_rem - ce
+            # an emptied slot is refilled from eq1 by the next iteration's
+            # body-start promote
+        else:
+            counts = state[9]
+        cg = jnp.minimum(gp_rem, chunk)
+        counts = counts + gap_hist(gp_s, gp_q, cg)
+        gp_s = gp_s + cg
+        gp_q = gp_q + cg
+        gp_rem = gp_rem - cg
+
+        out = (pos_q, last_q, last_s, last_len, last_right, fin,
+               gp_s, gp_q, gp_rem)
+        if exact_counts:
+            return out + (eq0_p, eq0_rem, eq1_p, eq1_rem, counts)
+        return out + (counts,)
+
+    def body(state):
+        if exact_counts:
+            # promote before deciding who probes (a lane with only a queued
+            # trailing interval must count, not probe)
+            (pos_q, last_q, last_s, last_len, last_right, fin,
+             gp_s, gp_q, gp_rem, eq0_p, eq0_rem, eq1_p, eq1_rem,
+             counts) = state
+            promote = (eq0_rem == 0) & (eq1_rem > 0)
+            eq0_p = jnp.where(promote, eq1_p, eq0_p)
+            eq0_rem = jnp.where(promote, eq1_rem, eq0_rem)
+            eq1_rem = jnp.where(promote, 0, eq1_rem)
+            state = (pos_q, last_q, last_s, last_len, last_right, fin,
+                     gp_s, gp_q, gp_rem, eq0_p, eq0_rem, eq1_p, eq1_rem,
+                     counts)
+
+        any_probe = jnp.any(
+            (~state[5])
+            & ~(state[8] > 0)
+            & ~((state[10] > 0) if exact_counts else jnp.bool_(False))
+        )
+        state = jax.lax.cond(any_probe, probe_phase, lambda s: s, state)
+
+        pending = state[8] > 0
+        if exact_counts:
+            pending = pending | (state[10] > 0)
+        state = jax.lax.cond(
+            jnp.any(pending), chunk_phase, lambda s: s, state
+        )
+        return state
+
+    z = jnp.zeros((sg, g), jnp.int32)
+    f = jnp.zeros((sg, g), jnp.bool_)
+    init = (z, z, z, z, f, qlen <= 0, z, z, z)
+    if exact_counts:
+        init = init + (z, z, z, z, jnp.zeros((sg, g, 16), jnp.int32))
+    else:
+        init = init + (jnp.zeros((sg, g, 16), jnp.int32),)
+    final = jax.lax.while_loop(cond, body, init)
+    return final[-1]

@@ -163,6 +163,18 @@ def _build_device_text_packed(
 
 
 @functools.partial(jax.jit, static_argnames=("qb",))
+def _block_tables(sa, lcp, seg_bounds, q_start, q_off_pad, qb):
+    """Fused per-block table build (segid + ISA + query SA slots + RMQ):
+    one dispatch instead of four — dispatch latency is seconds on degraded
+    tunneled links."""
+    segid = _device_segid(sa, seg_bounds)
+    isa = matchstats_jax.inverse_sa_device(sa)
+    tq = _device_tq(isa, q_start, q_off_pad, qb)
+    rm = rmq.build(lcp)
+    return segid, isa, tq, rm
+
+
+@functools.partial(jax.jit, static_argnames=("qb",))
 def _device_tq(
     isa: jax.Array,  # int32[Np]
     q_start: jax.Array,  # int32[gp] text offset of each query span
@@ -328,10 +340,12 @@ class JaxBackend:
             )
             t0 = _prof(f"SA doubling ({len(levels)} levels)", t0, sa_d)
             # bucket the level count so lcp_from_levels compiles once per
-            # (shape, bucket): padding rows repeat the top level, whose ranks
-            # are all distinct, so the walk never advances on them
-            while len(levels) % 4:
-                levels.append(levels[-1])
+            # (shape, bucket): pad with an all-distinct iota level — the
+            # walk can never advance on it, whatever width its index
+            # implies, so padding is exact at any position
+            pad_level = jnp.arange(padded_n, dtype=jnp.int32)
+            while len(levels) % 2:
+                levels.append(pad_level)
             lcp_d = device_pipeline.lcp_from_levels(
                 sa_d, jnp.stack(levels), sym_d,
                 base_width=doubling.BASE_WIDTH if packed_ranks else 1,
@@ -352,13 +366,6 @@ class JaxBackend:
                 lcp = sa_numpy.lcp_array(padded, sa)
             lcp_d = jnp.asarray(lcp.astype(np.int32))
 
-        # segment id per SA entry; padding positions land past the last
-        # segment and therefore never match any subject segment
-        segid_d = _device_segid(
-            sa_d, jnp.asarray(layout.seg_start[1:].astype(np.int32))
-        )
-        t0 = _prof("segid", t0, segid_d)
-
         # device-replay inputs: query lane table padded to a small bucket
         genomes = [int(g) for g in layout.genome_ids]
         gp = max(8, -(-len(genomes) // 8) * 8)
@@ -375,14 +382,16 @@ class JaxBackend:
         q_off_pad = np.full(gp + 1, q_off[-1], dtype=np.int32)
         q_off_pad[: len(q_off)] = q_off
 
-        isa_d = matchstats_jax.inverse_sa_device(sa_d)
+        # fused per-block tables: segid (padding positions land past the
+        # last segment, never matching any subject), ISA, query SA slots,
+        # and the range-min structure — one dispatch
         qb = bucket(max(int(q_off[-1]), 1))
-        tq_d = _device_tq(
-            isa_d, jnp.asarray(q_start), jnp.asarray(q_off_pad), qb
+        segid_d, isa_d, tq_d, rm = _block_tables(
+            sa_d, lcp_d,
+            jnp.asarray(layout.seg_start[1:].astype(np.int32)),
+            jnp.asarray(q_start), jnp.asarray(q_off_pad), qb,
         )
-        t0 = _prof("isa + tq", t0, tq_d)
-        rm = rmq.build(lcp_d)
-        t0 = _prof("rmq build", t0, rm.tg[0])
+        t0 = _prof("block tables (segid+isa+tq+rmq)", t0, tq_d)
         blob = (
             np.concatenate(
                 [layout.u8[q_start[k] : q_start[k] + q_len[k]]
@@ -457,12 +466,10 @@ class JaxBackend:
     ) -> dict[int, dict[int, "object"]]:
         """Grouped device path: matchstats per subject, then ONE lock-step
         replay over every (subject, query) lane of the group — the
-        per-iteration while_loop cost amortizes across the group.  Only the
-        16 counts per pair are fetched."""
-        from ..chain.replay_device import (
-            group_subject_tables,
-            replay_rows_device,
-        )
+        per-iteration while_loop cost amortizes across the group, and
+        tables + replay fuse into a single dispatch.  Only the 16 counts
+        per pair are fetched."""
+        from ..chain.replay_device import subject_group_counts_device
         from ..model import CountMatrix
 
         layout = ctx.layout
@@ -493,27 +500,14 @@ class JaxBackend:
             thresholds[k] = subjects[genome].threshold
             q_len2d[k] = q_len_row
 
-        mlun_g, ps_g, jump_g = group_subject_tables(
-            ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
-            jnp.asarray(segs), jnp.asarray(starts), jnp.asarray(thresholds),
-            jump_passes,
-        )
-
         exact = model_kind in (Model.LOGDET, Model.ANI)
-        counts = replay_rows_device(
-            ctx.text_d,
-            ctx.isa_d,
-            ctx.rm,
-            mlun_g,
-            ps_g,
-            jump_g,
-            jnp.asarray(starts),
-            jnp.asarray(rs_lens),
-            jnp.asarray(thresholds),
-            ctx.q_base_d,
-            ctx.q_start_d,
-            jnp.asarray(q_len2d),
-            exact,
+        counts = subject_group_counts_device(
+            ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+            ctx.text_d, ctx.isa_d, ctx.rm,
+            jnp.asarray(segs), jnp.asarray(starts),
+            jnp.asarray(rs_lens), jnp.asarray(thresholds),
+            ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
+            jump_passes, exact,
         )
         counts_h = np.asarray(jax.device_get(counts), dtype=np.int64)
 

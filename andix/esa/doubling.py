@@ -135,7 +135,12 @@ def suffix_array_device_collect(sym: jax.Array, packed: bool = False):
     (``device_pipeline.lcp_from_levels``; sub-base remainders are finished
     by direct symbol compares there).  Early exit still applies — the level
     list stops once ranks are distinct, which bounds both rounds and level
-    memory by the data's actual repeat structure."""
+    memory by the data's actual repeat structure.
+
+    A final level whose ranks are all distinct is dropped (unless it is the
+    only one): distinct width-W ranks mean every adjacent LCP is < W, and
+    the remaining widths sum to W - 1 plus the sub-base compares — the walk
+    stays exact with one less full-size gather pass."""
     length = int(sym.shape[0])
     if length == 0:
         return jnp.zeros(0, jnp.int32), [jnp.zeros(0, jnp.int32)]
@@ -148,8 +153,10 @@ def suffix_array_device_collect(sym: jax.Array, packed: bool = False):
         rank, max_rank, order = _doubling_round(
             rank, jnp.int32(min(k, length)), length
         )
-        levels.append(rank)
-        if int(max_rank) == length - 1 or k >= length:
+        distinct = int(max_rank) == length - 1
+        if not distinct:
+            levels.append(rank)
+        if distinct or k >= length:
             return order, levels
         k *= 2
 

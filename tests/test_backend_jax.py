@@ -71,6 +71,39 @@ class TestDeviceScan:
         assert list(got) == [5, 3, 3]
 
 
+class TestDeviceLCP:
+    def _check(self, layout):
+        from andix.esa.backend_jax import bucket, pad_symbols
+
+        be = JaxBackend(device_lcp=True)
+        ctx = be.prepare_block(layout)
+        n = layout.n
+        padded = pad_symbols(layout.sym, bucket(n))
+        sa = np.asarray(ctx.sa_d)
+        want = sa_numpy.lcp_array(padded, sa)
+        got = np.asarray(ctx.lcp_d)
+        assert (got[:n] == want[:n]).all()
+
+    def test_mutated_family_block(self, rng, dna, mutator):
+        """Near-identical genomes force deep rank levels (long shared
+        runs); the level walk + drop-distinct-top + iota padding must stay
+        exact."""
+        base = dna(rng, 400)
+        rs = {0: catcomp(base), 1: catcomp(mutator(rng, base, 0.01))}
+        qs = {2: mutator(rng, base, 0.03)}
+        self._check(joint.build_block(rs, qs))
+
+    def test_identical_genomes_block(self, rng, dna):
+        """Identical sequences: ties resolve only at segment separators —
+        the deepest-possible level stack for a given length."""
+        base = dna(rng, 300)
+        self._check(joint.build_block({0: catcomp(base), 1: catcomp(base)}, {}))
+
+    def test_repetitive_text(self):
+        contig = np.frombuffer(b"GATTACA" * 40, np.uint8)
+        self._check(joint.build_block({0: catcomp(contig)}, {}))
+
+
 class TestDeviceText:
     def test_packed_and_dense_paths_agree(self, rng, dna, mutator):
         """The 2-bit packed upload and the byte/dense upload must rebuild
