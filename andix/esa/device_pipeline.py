@@ -35,7 +35,7 @@ def suffix_array_with_levels(sym: jax.Array, rounds: int):
     initial ranks — inputs must satisfy the block-text contract
     (``doubling._initial_ranks``)."""
     length = int(sym.shape[0])
-    rank, _ = _initial_ranks(sym, length, packed=True)
+    rank, _, _ = _initial_ranks(sym, length, packed=True)
     levels = [rank]
     order = _sa_from_rank(rank, length)
     k = BASE_WIDTH

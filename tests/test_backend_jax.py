@@ -35,6 +35,52 @@ class TestDoubling:
         ).astype(np.int32)
         assert (suffix_array(sym) == sa_numpy.suffix_array(sym)).all()
 
+    def test_bucketed_tail_rounds(self, rng, dna, mutator, monkeypatch):
+        """Force the Larsson-Sadakane bucketed rounds from the first round
+        (tied fraction threshold = 1.1) with a tiny buffer bucket so the
+        shrink path runs; SA must equal the host oracle on a near-identical
+        family (deep ties) and on random text."""
+        from andix.esa import doubling
+
+        monkeypatch.setattr(doubling, "_BUCKET_FRAC", 1.1)
+        monkeypatch.setattr(doubling, "_MIN_BUCKET_T", 16)
+        base = dna(rng, 500)
+        fam = np.concatenate(
+            [base, [33], mutator(rng, base, 0.01), [35],
+             mutator(rng, base, 0.02), [59]]
+        ).astype(np.int32)
+        assert (suffix_array(fam) == sa_numpy.suffix_array(fam)).all()
+        rnd = rng.integers(0, 6, 700).astype(np.int32)
+        assert (suffix_array(rnd) == sa_numpy.suffix_array(rnd)).all()
+
+    def test_bucketed_levels_lcp_exact(self, rng, dna, mutator, monkeypatch):
+        """Rank levels collected during bucketed rounds must keep the
+        level-walk LCP exact (bucket-head semantics: equal rank ⟺ equal
+        width-w prefix)."""
+        import jax.numpy as jnp
+
+        from andix.esa import device_pipeline, doubling
+        from andix.esa.backend_jax import bucket, device_text, pad_symbols
+
+        monkeypatch.setattr(doubling, "_BUCKET_FRAC", 1.1)
+        monkeypatch.setattr(doubling, "_MIN_BUCKET_T", 16)
+        base = dna(rng, 400)
+        rs = {0: catcomp(base), 1: catcomp(mutator(rng, base, 0.015))}
+        layout = joint.build_block(rs, {})
+        padded_n = bucket(layout.n)
+        sym_d = device_text(layout, padded_n)
+        sa_d, levels = doubling.suffix_array_device_collect(sym_d, packed=True)
+        pad_level = jnp.arange(padded_n, dtype=jnp.int32)
+        while len(levels) % 2:
+            levels.append(pad_level)
+        lcp_d = device_pipeline.lcp_from_levels(
+            sa_d, jnp.stack(levels), sym_d
+        )
+        n = layout.n
+        padded = pad_symbols(layout.sym, padded_n)
+        want = sa_numpy.lcp_array(padded, np.asarray(sa_d))
+        assert (np.asarray(lcp_d)[:n] == want[:n]).all()
+
     def test_fixed_rounds_variant(self, rng):
         import jax.numpy as jnp
 
