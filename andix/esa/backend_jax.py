@@ -282,8 +282,21 @@ def device_text(
 
 
 _DEVICE_LCP_MAX = int(
-    __import__("os").environ.get("ANDIX_DEVICE_LCP_MAX", 64 * 1024 * 1024)
+    __import__("os").environ.get("ANDIX_DEVICE_LCP_MAX", 192 * 1024 * 1024)
 )
+# HBM budget for block planning and the rank-level cap (v5e: 16 GB chip,
+# leave headroom for XLA workspace)
+DEVICE_MEM_BYTES = int(
+    float(__import__("os").environ.get("ANDIX_DEVICE_MEM_GB", "12")) * 2**30
+)
+
+
+def level_budget(padded_n: int) -> int:
+    """How many full int32 rank levels fit alongside the block's resident
+    arrays (text, SA, ISA, LCP, segid, RMQ ≈ 6N·4B) and sort workspace
+    (≈ 4N·4B)."""
+    reserve = 10 * 4 * padded_n
+    return max(0, (DEVICE_MEM_BYTES - reserve) // (4 * padded_n))
 
 
 def _prof(label: str, t0: float, sync=None) -> float:
@@ -324,21 +337,30 @@ class JaxBackend:
         sym_d = device_text(layout, padded_n)
         t0 = _prof("H2D + device text", t0, sym_d)
 
+        budget = level_budget(padded_n)
         use_device_lcp = (
             self.device_lcp
             if self.device_lcp is not None
-            else padded_n <= _DEVICE_LCP_MAX
+            else padded_n <= _DEVICE_LCP_MAX and budget >= 6
         )
         # packed initial ranks need separator values within the 10-bit
         # clamp (doubling._initial_ranks contract): 256 + seg <= 1021
         packed_ranks = nseg <= 700
+        levels = None
         if use_device_lcp:
             from . import device_pipeline
 
             sa_d, levels = doubling.suffix_array_device_collect(
-                sym_d, packed=packed_ranks
+                sym_d, packed=packed_ranks,
+                max_levels=budget if self.device_lcp is None else None,
             )
-            t0 = _prof(f"SA doubling ({len(levels)} levels)", t0, sa_d)
+            nlev = len(levels) if levels is not None else -1
+            t0 = _prof(f"SA doubling ({nlev} levels)", t0, sa_d)
+        else:
+            sa_d = doubling.suffix_array_device(sym_d, packed=packed_ranks)
+            t0 = _prof("SA doubling (no levels)", t0, sa_d)
+
+        if levels is not None:
             # bucket the level count so lcp_from_levels compiles once per
             # (shape, bucket): pad with an all-distinct iota level — the
             # walk can never advance on it, whatever width its index
@@ -353,18 +375,21 @@ class JaxBackend:
             del levels
             t0 = _prof("LCP level walk", t0, lcp_d)
         else:
-            sa_d = doubling.suffix_array_device(sym_d, packed=packed_ranks)
+            # host LCP: level budget exceeded (pathologically repetitive
+            # input) or device LCP disabled — one SA down / LCP up round
+            # trip; the native parallel Φ covers the compute
             sa = np.asarray(jax.device_get(sa_d))
-            # host-side reconstruction of the padded text for the native LCP;
-            # pad_symbols and _build_device_text may differ in the exact pad
-            # values but both are strictly increasing and oversized, and LCPs
-            # never extend into them
+            # host-side reconstruction of the padded text for the native
+            # LCP; pad_symbols and the device text build may differ in the
+            # exact pad values but both are strictly increasing and
+            # oversized, and LCPs never extend into them
             padded = pad_symbols(layout.sym, padded_n)
             if native.available():
                 lcp = native.lcp_from_sa(padded, sa, self.threads)
             else:  # pragma: no cover - toolchain-less fallback
                 lcp = sa_numpy.lcp_array(padded, sa)
             lcp_d = jnp.asarray(lcp.astype(np.int32))
+            t0 = _prof("host LCP round trip", t0, lcp_d)
 
         # device-replay inputs: query lane table padded to a small bucket
         genomes = [int(g) for g in layout.genome_ids]

@@ -199,12 +199,19 @@ def _bucket_t(t: int) -> int:
     return b
 
 
-def _doubling_loop(sym: jax.Array, packed: bool, collect: bool):
+def _doubling_loop(
+    sym: jax.Array, packed: bool, collect: bool,
+    max_levels: int | None = None,
+):
     """Shared driver: full-size rounds with early exit, switching to
     bucketed tail rounds once the tied fraction drops below
     ANDIX_BUCKET_FRAC.  Returns (sa, levels) — levels only filled when
     ``collect`` (all-distinct final levels are never appended, see
-    ``suffix_array_device_collect``)."""
+    ``suffix_array_device_collect``).  When ``max_levels`` is given and the
+    text would need more rank levels than that (pathologically repetitive
+    inputs, e.g. identical genomes, where nothing resolves early), level
+    collection is abandoned — levels comes back None and the caller falls
+    back to a non-level LCP (memory stays bounded either way)."""
     length = int(sym.shape[0])
     if length == 0:
         z = jnp.zeros(0, jnp.int32)
@@ -216,6 +223,14 @@ def _doubling_loop(sym: jax.Array, packed: bool, collect: bool):
         return _sa_from_rank(rank, length), levels
     k = BASE_WIDTH if packed else 1
 
+    def push(r):
+        nonlocal levels
+        if collect and levels is not None:
+            if max_levels is not None and len(levels) >= max_levels:
+                levels = None  # overflow: abandon collection, keep sorting
+            else:
+                levels.append(r)
+
     # full-size rounds
     sa = order
     while t > length * _BUCKET_FRAC:
@@ -225,8 +240,7 @@ def _doubling_loop(sym: jax.Array, packed: bool, collect: bool):
         t = int(tied)
         if t == 0:
             return sa, levels
-        if collect:
-            levels.append(rank)
+        push(rank)
         if k >= length:
             return sa, levels
         k *= 2
@@ -241,8 +255,7 @@ def _doubling_loop(sym: jax.Array, packed: bool, collect: bool):
         t = int(tied)
         if t == 0:
             return sa, levels
-        if collect:
-            levels.append(rank)
+        push(rank)
         if k >= length:
             return sa, levels
         k *= 2
@@ -273,7 +286,9 @@ def suffix_array_device(sym: jax.Array, packed: bool = False) -> jax.Array:
     return sa
 
 
-def suffix_array_device_collect(sym: jax.Array, packed: bool = False):
+def suffix_array_device_collect(
+    sym: jax.Array, packed: bool = False, max_levels: int | None = None
+):
     """Like ``suffix_array_device`` but also returns the rank array of every
     width as a list (width base, 2*base, 4*base, ... with base = BASE_WIDTH
     when packed else 1) for the level-walk LCP
@@ -285,8 +300,11 @@ def suffix_array_device_collect(sym: jax.Array, packed: bool = False):
     A level whose ranks are all distinct is never appended (unless it is
     the only one): distinct width-W ranks mean every adjacent LCP is < W,
     and the remaining widths sum to W - 1 plus the sub-base compares — the
-    walk stays exact with one less full-size gather pass."""
-    return _doubling_loop(sym, packed, collect=True)
+    walk stays exact with one less full-size gather pass.
+
+    With ``max_levels``, returns (sa, None) when the input would need more
+    levels than the budget (see ``_doubling_loop``)."""
+    return _doubling_loop(sym, packed, collect=True, max_levels=max_levels)
 
 
 def suffix_array(sym: np.ndarray) -> np.ndarray:

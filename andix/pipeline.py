@@ -72,28 +72,68 @@ class NumpyBackend:
 
 
 def make_blocks(
-    subjects: list[Subject], block_syms: int, low_memory: bool
+    subjects: list[Subject],
+    block_syms: int,
+    low_memory: bool,
+    query_base: int | None = None,
 ) -> list[list[int]]:
     """Greedy-pack subject indices into blocks bounded by ``block_syms``
-    joint-text symbols (queries included once per block)."""
+    joint-text symbols.  ``query_base`` is the query-symbol load a block
+    text carries (the full query total, or the chunk bound when queries are
+    chunked)."""
     n = len(subjects)
     if low_memory:
         return [[i] for i in range(n)]
     query_total = sum((s.len - 1) // 2 + 1 for s in subjects)
+    if query_base is None:
+        query_base = query_total
+    query_base = min(query_base, query_total)
     blocks: list[list[int]] = []
     cur: list[int] = []
-    cur_syms = query_total
+    cur_syms = query_base
     for i in range(n):
         need = subjects[i].len + 1
         if cur and cur_syms + need > block_syms:
             blocks.append(cur)
             cur = []
-            cur_syms = query_total
+            cur_syms = query_base
         cur.append(i)
         cur_syms += need
     if cur:
         blocks.append(cur)
     return blocks
+
+
+def device_plan(
+    block_syms: int, subjects: list[Subject]
+) -> tuple[int, int]:
+    """Memory-aware (block_syms, max_query_syms) for device blocks.
+
+    A resident block costs ≈ 22 int32 arrays per padded symbol (text, SA,
+    ISA, LCP, segid, RMQ, sort workspace, ~12 rank levels for the LCP
+    walk), so blocks are capped at DEVICE_MEM_BYTES / 88.  When the query
+    total no longer fits alongside a subject, queries are chunked at half
+    the cap — at eco29 scale (29 × 4.9 Mbp) this yields multi-subject
+    blocks + query chunks instead of one-subject blocks spilling onto the
+    host-LCP path.  ANDIX_DEVICE_MEM_GB tunes the budget,
+    ANDIX_MAX_QUERY_SYMS overrides the chunk bound."""
+    from .esa.backend_jax import DEVICE_MEM_BYTES
+
+    largest = max(s.len + 1 for s in subjects)
+    query_total = sum((s.len - 1) // 2 + 1 for s in subjects)
+    cap = DEVICE_MEM_BYTES // 88
+    if cap < largest + (1 << 16):
+        # a single subject already busts the budget: let it through; the
+        # backend's level-budget check reroutes the block to the host LCP
+        cap = largest + (1 << 16)
+    eff_block = min(block_syms, cap)
+
+    env = os.environ.get("ANDIX_MAX_QUERY_SYMS")
+    if env:
+        return eff_block, int(env)
+    if query_total + largest <= eff_block:
+        return eff_block, query_total + 1
+    return eff_block, max(eff_block // 2, 1 << 20)
 
 
 def _replay_subject(
@@ -326,6 +366,10 @@ def calculate_matrix(
     n = len(seqs)
     subjects = [subject_init(s, ctx.anchor_p_value) for s in seqs]
 
+    max_query_syms = None
+    if getattr(backend, "device_replay", False):
+        block_syms, max_query_syms = device_plan(block_syms, subjects)
+
     M: list[list[CountMatrix]] = [[None] * n for _ in range(n)]  # type: ignore
     for i in range(n):
         diag = CountMatrix.zero(seq_len=9)
@@ -373,7 +417,8 @@ def calculate_matrix(
 
         try:
             _process_sharded(
-                todo, seqs, subjects, ctx, M, progress, devices, ckpt
+                todo, seqs, subjects, ctx, M, progress, devices, ckpt,
+                max_query_syms,
             )
             return M
         except ShardingUnsupported as e:
@@ -386,12 +431,14 @@ def calculate_matrix(
     blocks = [
         [todo[k] for k in blk]
         for blk in make_blocks(
-            [subjects[i] for i in todo], block_syms, ctx.low_memory
+            [subjects[i] for i in todo], block_syms, ctx.low_memory,
+            query_base=max_query_syms,
         )
     ]
     for block in blocks:
         _process_block(
-            block, seqs, subjects, ctx, backend, M, progress, ckpt=ckpt
+            block, seqs, subjects, ctx, backend, M, progress, ckpt=ckpt,
+            max_query_syms=max_query_syms,
         )
 
     return M
@@ -406,6 +453,7 @@ def _process_sharded(
     progress,
     devices,
     ckpt: "TileCheckpoint | None",
+    max_query_syms: int | None = None,
 ) -> None:
     """Sharded pair grid: one block of subject rows per device, full
     text→SA→stats→replay chain under shard_map, tiles merged on-mesh.
@@ -428,9 +476,10 @@ def _process_sharded(
 
     row_acc: dict[int, dict[int, CountMatrix]] = {i: {} for i in todo}
     exact = ctx.model in (Model.LOGDET, Model.ANI)
-    max_query_syms = int(
-        os.environ.get("ANDIX_MAX_QUERY_SYMS", str(1 << 28))
-    )
+    if max_query_syms is None:
+        max_query_syms = int(
+            os.environ.get("ANDIX_MAX_QUERY_SYMS", str(1 << 28))
+        )
 
     # all devices must agree on the query chunking: derive it from the
     # union block (out-of-block sets differ per device; chunk the full

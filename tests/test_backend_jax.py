@@ -149,6 +149,43 @@ class TestDeviceLCP:
         contig = np.frombuffer(b"GATTACA" * 40, np.uint8)
         self._check(joint.build_block({0: catcomp(contig)}, {}))
 
+    def test_level_budget_overflow_falls_back_to_host(
+        self, rng, dna, monkeypatch
+    ):
+        """Identical genomes resolve no ranks until width ~ genome length;
+        with a tiny memory budget level collection must abandon mid-run and
+        the block must take the host-LCP path with identical results."""
+        from andix.esa import backend_jax
+
+        from andix.esa import doubling
+
+        monkeypatch.setenv("ANDIX_SHARDED", "0")  # exercise prepare_block
+        base = dna(rng, 800)
+        seqs = [Seq(base, "a"), Seq(base.copy(), "b")]
+        ctx = Context()
+        want = pipeline.calculate_matrix(seqs, ctx, pipeline.NumpyBackend())
+        padded = backend_jax.bucket(2 * (2 * 800 + 2))
+        # budget = (68B - 40B) / 4B = 7 levels: >= 6 so the device path is
+        # tried, fewer than identical genomes need, so collection overflows
+        monkeypatch.setattr(backend_jax, "DEVICE_MEM_BYTES", 68 * padded)
+        overflowed = {"n": 0}
+        orig = doubling.suffix_array_device_collect
+
+        def spy(*a, **kw):
+            sa, levels = orig(*a, **kw)
+            if levels is None:
+                overflowed["n"] += 1
+            return sa, levels
+
+        monkeypatch.setattr(
+            backend_jax.doubling, "suffix_array_device_collect", spy
+        )
+        got = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        assert overflowed["n"] > 0, "level collection never overflowed"
+        for i in range(2):
+            for j in range(2):
+                assert (got[i][j].counts == want[i][j].counts).all()
+
 
 class TestDeviceText:
     def test_packed_and_dense_paths_agree(self, rng, dna, mutator):
