@@ -40,9 +40,17 @@ jax.config.update("jax_enable_x64", True)
 # XLA compiles are expensive on tunneled TPU backends (tens of seconds per
 # sort shape).  All device entry points use padded shape buckets, and the
 # persistent cache makes recompiles once-per-machine instead of once-per-run.
+# The cache is split per platform: remote-compile services (tunneled TPU
+# setups) may AOT CPU entries with mismatched host CPU features, and
+# reloading those on the local CPU spams cpu_aot_loader warnings on stderr.
+_plat = (_os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
 _cache_dir = _os.environ.get(
     "ANDIX_JAX_CACHE",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "andix-jax"),
+    # CPU compiles are fast and reloading AOT CPU entries spams benign
+    # cpu_aot_loader warnings (XLA's prefer-no-scatter pseudo-features) on
+    # stderr, so the persistent cache is accelerator-only by default
+    "0" if _plat == "cpu"
+    else _os.path.join(_os.path.expanduser("~"), ".cache", "andix-jax"),
 )
 if _cache_dir and _cache_dir != "0":
     try:  # pragma: no cover - best effort

@@ -46,68 +46,125 @@ def _read_bytes(file_name: str) -> bytes:
         return fh.read()
 
 
-def parse_fasta_bytes(blob: bytes) -> list[RawRecord]:
-    """Parse one FASTA blob into raw records."""
+_GT = ord(">")
+_NL = ord("\n")
+
+
+def _isalpha(c: int) -> bool:
+    return 65 <= c <= 90 or 97 <= c <= 122
+
+
+def parse_fasta_bytes(blob: bytes):
+    """Parse one FASTA blob into raw records with pfasta-exact semantics
+    (libs/pfasta.c:330-482): records are a sequence of whitespace-delimited
+    words; a record is a ``>``-word (name), the rest of that line
+    (comment), then words starting with a letter, ``-`` or ``*``; any other
+    word start ends the record and must be the next ``>``.  Error messages
+    and their line numbers match pfasta byte for byte, and records parsed
+    before an error are returned alongside it (the reference pushes each
+    record before the failing read, src/io.c:214-226).
+
+    Returns (records, errstr | None)."""
     if len(blob) == 0:
-        raise FastaError("Expected '>' but found EOF on line 1.")
-    if blob[0:1] != b">":
-        raise FastaError(
-            f"Expected '>' but found '{chr(blob[0])}' on line 1."
-        )
+        return [], "File is empty."
+    if blob[0] != _GT:
+        return [], "File must start with '>'."
 
     arr = np.frombuffer(blob, dtype=np.uint8)
-    # Header lines: '>' at position 0 or right after a '\n'.
-    gt = arr == ord(">")
-    at_line_start = np.zeros(len(arr), dtype=bool)
-    at_line_start[0] = True
-    newline = arr == ord("\n")
-    at_line_start[1:] = newline[:-1]
-    header_starts = np.nonzero(gt & at_line_start)[0]
+    n = len(arr)
+    ws = (arr == 32) | ((arr >= 9) & (arr <= 13))
+    newline_pos = np.nonzero(arr == _NL)[0]
+
+    def line_of(i: int) -> int:
+        # a newline terminates its own line
+        return int(np.searchsorted(newline_pos, i, side="left")) + 1
+
+    eof_line = len(newline_pos) + 1
+
+    # tokenize into maximal non-whitespace words: each word spans
+    # [starts[i], ends[i]) with ends[i] the next whitespace byte (or EOF)
+    is_start = ~ws
+    is_start[1:] &= ws[:-1]
+    starts = np.nonzero(is_start)[0]
+    ws_idx = np.nonzero(ws)[0]
+    if len(ws_idx):
+        nxt = np.searchsorted(ws_idx, starts)
+        ends = np.where(
+            nxt < len(ws_idx), ws_idx[np.minimum(nxt, len(ws_idx) - 1)], n
+        )
+    else:
+        ends = np.full(len(starts), n, dtype=np.int64)
 
     records: list[RawRecord] = []
-    newline_pos = np.nonzero(newline)[0]
-    for idx, h in enumerate(header_starts):
-        # header line spans h .. eol (first newline at or after h)
-        nl_idx = int(np.searchsorted(newline_pos, h))
-        eol = int(newline_pos[nl_idx]) if nl_idx < len(newline_pos) else len(arr)
-        header = blob[h + 1 : eol].decode("utf-8", errors="replace")
-        parts = header.split(None, 1)
-        if not parts or not parts[0]:
-            line_no = int(np.searchsorted(newline_pos, h)) + 1
-            raise FastaError(f"Empty name on line {line_no}.")
-        name = parts[0]
-        comment = parts[1] if len(parts) > 1 else ""
+    W = len(starts)
+    w = 0
+    while w < W:
+        s = int(starts[w])
+        c = int(arr[s])
+        if c != _GT:
+            return records, (
+                f"Expected '>' but found '{chr(c)}' on line {line_of(s)}."
+            )
 
-        body_start = eol + 1
-        body_end = (
-            int(header_starts[idx + 1]) if idx + 1 < len(header_starts) else len(arr)
+        # --- name (pfasta_read_name, libs/pfasta.c:352-386) ---
+        e = int(ends[w])
+        if e >= n:  # '>' or name word runs into EOF
+            return records, (
+                f"Unexpected EOF in name on line {line_of(s)}."
+            )
+        if e == s + 1:
+            return records, f"Empty name on line {line_of(s)}."
+        name = blob[s + 1 : e].decode("utf-8", errors="replace")
+
+        # --- comment (pfasta_read_comment, :388-430): rest of the header
+        # line; a header line never ending in a newline is an error ---
+        nl_i = int(np.searchsorted(newline_pos, e, side="left"))
+        if nl_i >= len(newline_pos):
+            return records, (
+                f"Unexpected EOF in comment on line {line_of(s)}."
+            )
+        eol = int(newline_pos[nl_i])
+        comment = (
+            blob[e + 1 : eol].decode("utf-8", errors="replace")
+            if int(arr[e]) != _NL
+            else ""
         )
-        body = arr[body_start:body_end]
-        # drop all whitespace (space, tab, CR, LF, VT, FF)
-        ws = (body == 32) | ((body >= 9) & (body <= 13))
-        data = body[~ws]
-        if len(data) == 0:
-            line_no = int(np.searchsorted(newline_pos, h)) + 2
-            raise FastaError(f"Empty sequence on line {line_no}.")
+
+        # --- sequence (pfasta_read_sequence, :434-482): words starting
+        # with a letter, '-' or '*'; other word starts end the record ---
+        w += 1
+        while w < W and starts[w] < eol:  # words inside the comment
+            w += 1
+        parts = []
+        while w < W:
+            s2 = int(starts[w])
+            c2 = int(arr[s2])
+            if not (_isalpha(c2) or c2 == 45 or c2 == 42):
+                break
+            parts.append(arr[s2 : int(ends[w])])
+            w += 1
+        if not parts:
+            bad_line = line_of(int(starts[w])) if w < W else eof_line
+            return records, f"Empty sequence on line {bad_line}."
+        data = parts[0] if len(parts) == 1 else np.concatenate(parts)
         records.append(RawRecord(name=name, comment=comment, data=data))
 
-    return records
+    return records, None
 
 
 def read_fasta(file_name: str, ctx: Context) -> list[seqmod.Seq]:
     """Read and normalize all sequences of one file (reference ``read_fasta``,
-    src/io.c:196-233).  Parse failures are soft errors that skip the file."""
+    src/io.c:196-233).  Parse failures are soft errors; records parsed
+    before the failure are kept, matching the reference's read loop."""
     try:
         blob = _read_bytes(file_name)
     except OSError as e:
         ctx.soft_err(f"{file_name}: {e.strerror}")
         return []
 
-    try:
-        records = parse_fasta_bytes(blob)
-    except FastaError as e:
-        ctx.soft_err(f"{file_name}: {e}")
-        return []
+    records, err = parse_fasta_bytes(blob)
+    if err is not None:
+        ctx.soft_err(f"{file_name}: {err}")
 
     out = []
     for rec in records:

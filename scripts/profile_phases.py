@@ -64,7 +64,11 @@ def main():
     _ = int(bctx.lcp_d[1])
     log(f, f"prepare_block total: {time.time()-t0:.2f}s")
 
-    from andix.chain.replay_device import group_subject_tables, replay_rows_device
+    from andix.chain.replay_device import (
+        group_subject_tables,
+        replay_rows_device,
+        subject_group_counts_device,
+    )
 
     gp = bctx.q_start_d.shape[0]
     group = len(block)
@@ -82,10 +86,14 @@ def main():
         thresholds[kk] = subjects[genome].threshold
         q_len2d[kk] = q_len_row
 
+    jump_passes = int(os.environ.get("ANDIX_JUMP_PASSES", "3"))
+
+    # split phases first (tables vs replay), then the fused production call
     t0 = time.time()
     mlun_g, ps_g, jump_g = group_subject_tables(
         bctx.sa_d, bctx.lcp_d, bctx.segid_d, bctx.tq_d,
-        jnp.asarray(segs), jnp.asarray(starts), jnp.asarray(thresholds), 3
+        jnp.asarray(segs), jnp.asarray(starts), jnp.asarray(thresholds),
+        jump_passes,
     )
     _ = int(mlun_g[0, 0])
     log(f, f"group_subject_tables x{group}: {time.time()-t0:.2f}s")
@@ -100,6 +108,19 @@ def main():
     )
     counts_h = np.asarray(jax.device_get(counts))
     log(f, f"replay_rows_device (group={group}): {time.time()-t0:.2f}s")
+
+    t0 = time.time()
+    counts2 = subject_group_counts_device(
+        bctx.sa_d, bctx.lcp_d, bctx.segid_d, bctx.tq_d,
+        bctx.text_d, bctx.isa_d, bctx.rm,
+        jnp.asarray(segs), jnp.asarray(starts),
+        jnp.asarray(rs_lens), jnp.asarray(thresholds),
+        bctx.q_base_d, bctx.q_start_d, jnp.asarray(q_len2d),
+        jump_passes, False,
+    )
+    counts2_h = np.asarray(jax.device_get(counts2))
+    log(f, f"fused tables+replay (production): {time.time()-t0:.2f}s")
+    assert (counts_h == counts2_h).all()
     log(f, f"counts[0,1]={counts_h[0,1].tolist()}")
     f.close()
 

@@ -217,4 +217,4 @@ class TestFastaErrors:
             capsys, ["--progress=never", str(bad), str(good)]
         )
         assert code == 1
-        assert "Expected '>'" in err
+        assert "File must start with '>'." in err

@@ -208,3 +208,84 @@ class TestEdgeParity:
             [(f"c{k}", mutator(rng, c, 0.05)) for k, c in enumerate(contigs)],
         )
         assert_parity(andi_oracle, ["-j", "asm_a.fa", "asm_b.fa"], tmp_path)
+
+
+def _norm_stderr(text):
+    """Drop the program-name prefix ('andi_oracle: ...' vs 'andix: ...')
+    from each line so only the message content is compared."""
+    out = []
+    for ln in text.splitlines():
+        head, sep, rest = ln.partition(": ")
+        out.append(rest if sep and " " not in head else ln)
+    return out
+
+
+def assert_stderr_parity(exe, args, cwd):
+    ref = run_ref(exe, args, str(cwd))
+    got = run_andix(args, str(cwd))
+    assert got.stdout == ref.stdout, (args, ref.stdout, got.stdout)
+    assert _norm_stderr(got.stderr) == _norm_stderr(ref.stderr), (
+        args, ref.stderr, got.stderr
+    )
+    assert got.returncode == ref.returncode, (args, ref.stderr, got.stderr)
+
+
+class TestFastaErrorParity:
+    """Malformed-input behavior must match pfasta byte for byte: message
+    text, line numbers, records-kept-before-error, and exit codes
+    (libs/pfasta.c:330-482, src/io.c:196-233)."""
+
+    @pytest.fixture
+    def goods(self, tmp_path, rng, dna, mutator):
+        base = dna(rng, 1500)
+        write_fasta(tmp_path / "good1.fa", [("g1", base)])
+        write_fasta(tmp_path / "good2.fa", [("g2", mutator(rng, base, 0.03))])
+        return tmp_path, ["good1.fa", "good2.fa"]
+
+    def _case(self, goods, andi_oracle, content):
+        cwd, good = goods
+        (cwd / "bad.fa").write_bytes(content)
+        assert_stderr_parity(andi_oracle, ["bad.fa"] + good, cwd)
+
+    def test_not_fasta(self, andi_oracle, goods):
+        self._case(goods, andi_oracle, b"this is not fasta\n")
+
+    def test_empty_file(self, andi_oracle, goods):
+        self._case(goods, andi_oracle, b"")
+
+    def test_eof_in_name(self, andi_oracle, goods):
+        self._case(goods, andi_oracle, b">name")
+
+    def test_eof_in_comment(self, andi_oracle, goods):
+        self._case(goods, andi_oracle, b">name a comment")
+
+    def test_empty_name(self, andi_oracle, goods):
+        self._case(goods, andi_oracle, b"> \nACGTACGT\n")
+
+    def test_empty_sequence_line_number(self, andi_oracle, goods):
+        self._case(goods, andi_oracle, b">a\n\n\n>b\nACGT\n")
+
+    def test_record_kept_before_bad_word(self, andi_oracle, goods):
+        # record 'a' parses, then '1' is not a valid word start: the
+        # reference keeps 'a' and reports the error with its line number
+        self._case(
+            goods, andi_oracle,
+            b">a\n" + b"ACGT" * 300 + b"\n123\n>b\nACGT\n",
+        )
+
+    def test_midline_header_word(self, andi_oracle, goods):
+        # pfasta is word-based: a '>'-word after spaces mid-line starts a
+        # new record
+        self._case(
+            goods, andi_oracle,
+            b">a\n" + b"ACGT" * 300 + b" >m\n" + b"TTTT" * 300 + b"\n",
+        )
+
+    def test_no_trailing_newline(self, andi_oracle, goods):
+        self._case(goods, andi_oracle, b">a\n" + b"ACGT" * 300)
+
+    def test_crlf_line_endings(self, andi_oracle, goods):
+        self._case(
+            goods, andi_oracle,
+            b">a first\r\n" + b"ACGT" * 300 + b"\r\n",
+        )
