@@ -12,9 +12,14 @@ fixing the reference's ``time(NULL)`` irreproducibility TODO
 
 Counts are carried in float32 on device; integers are exact below 2**24, so
 pairs whose total nucleotide count exceeds that fall back to the host NumPy
-resampler (``model.model_bootstrap``) — the printed output stays a pure
-function of (inputs, seed) either way, but device and host RNG streams
-differ, so replicate values depend on the chosen path.
+resampler (``model.model_bootstrap``).
+
+The device threefry stream differs from the host PCG64 stream, and the
+repo invariant is that the same ``--seed`` prints the same replicates on
+every backend (reference mode-equivalence ethos, test/test_extra.sh:19-22).
+The CLI therefore defaults to the host resampler for all backends and
+enables this path only under ANDIX_DEVICE_BOOTSTRAP=1 (device-scale runs
+that accept a different — still seeded and reproducible — stream).
 """
 
 from __future__ import annotations

