@@ -29,6 +29,13 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Multi-host init MUST precede everything else: several andix modules
+# create jnp constants at import time, which initializes the XLA backend,
+# after which jax.distributed.initialize refuses to run.
+from ._distributed import maybe_init_distributed as _maybe_init_distributed
+
+_maybe_init_distributed()
+
 import jax
 
 # Estimator math must be float64 to match the reference's C doubles

@@ -298,26 +298,27 @@ def main(argv: list[str] | None = None) -> int:
     meter = output.ProgressMeter(n, show_progress)
 
     backend = select_backend(ctx)
+    # multi-host: the cluster join already happened at andix import (see
+    # andix/_distributed.py — it must precede any backend touch); every
+    # process computes the sharded grid, process 0 prints
+    process0 = True
     if getattr(backend, "device_replay", False):
-        # multi-host scaffolding: joins the pod-slice cluster when a
-        # coordinator is configured (ANDIX_COORDINATOR), no-op otherwise
-        from .parallel import maybe_init_distributed
+        import jax
 
-        try:
-            maybe_init_distributed()
-        except Exception as e:
-            ctx.soft_err(f"jax.distributed initialization failed: {e}")
+        process0 = jax.process_index() == 0
     M = pipeline.calculate_matrix(
-        seqs, ctx, backend=backend, block_syms=ctx.block_syms, progress=meter
+        seqs, ctx, backend=backend, block_syms=ctx.block_syms,
+        progress=meter if process0 else None,
     )
     meter.done()
 
-    output.print_distances(M, seqs, n, True, ctx)
-    if ctx.verbose >= 1:
-        output.print_coverages(M, n)
+    if process0:
+        output.print_distances(M, seqs, n, True, ctx)
+        if ctx.verbose >= 1:
+            output.print_coverages(M, n)
 
-    if ctx.bootstrap:
-        calculate_bootstrap(M, seqs, n, ctx, backend)
+        if ctx.bootstrap:
+            calculate_bootstrap(M, seqs, n, ctx, backend)
 
     return ctx.exit_code
 

@@ -57,21 +57,9 @@ class ShardingUnsupported(Exception):
     falls back to the serial schedule)."""
 
 
-def maybe_init_distributed() -> bool:
-    """Multi-host init (SURVEY.md §5 distributed backend row): call
-    ``jax.distributed.initialize`` when a coordinator is configured via
-    ANDIX_COORDINATOR[/ANDIX_NUM_PROCESSES/ANDIX_PROCESS_ID] or the JAX
-    auto-detected cluster env.  Single-host runs skip silently."""
-    coord = os.environ.get("ANDIX_COORDINATOR")
-    if coord is None:
-        return False
-    kwargs = {"coordinator_address": coord}
-    if "ANDIX_NUM_PROCESSES" in os.environ:
-        kwargs["num_processes"] = int(os.environ["ANDIX_NUM_PROCESSES"])
-    if "ANDIX_PROCESS_ID" in os.environ:
-        kwargs["process_id"] = int(os.environ["ANDIX_PROCESS_ID"])
-    jax.distributed.initialize(**kwargs)
-    return True
+from ._distributed import maybe_init_distributed  # noqa: F401  (re-export;
+# the real init runs from andix/__init__ BEFORE any jnp constant can
+# initialize the backend — see andix/_distributed.py)
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -260,20 +248,24 @@ def sharded_block_counts(
             q_len2d[d, k] = q_len[d]
 
     fn = _sharded_counts_fn(mesh, B, exact, jump_passes)
+    # plain NumPy inputs: jit places each shard on its mesh device directly.
+    # (jnp.asarray would commit the whole array to one local device first,
+    # which cannot be resharded onto a multi-host mesh — every process
+    # builds the same host arrays, the SPMD-standard layout.)
     counts = fn(
-        jnp.asarray(np.stack(packs)),
-        jnp.asarray(np.stack(excps)),
-        jnp.asarray(np.stack(excvs)),
-        jnp.asarray(n_reals),
-        jnp.asarray(seg_bounds),
-        jnp.asarray(tq_text),
-        jnp.asarray(subj_seg),
-        jnp.asarray(subj_start),
-        jnp.asarray(rs_len),
-        jnp.asarray(threshold),
-        jnp.asarray(q_base),
-        jnp.asarray(q_start),
-        jnp.asarray(q_len2d),
+        np.stack(packs),
+        np.stack(excps),
+        np.stack(excvs),
+        n_reals,
+        seg_bounds,
+        tq_text,
+        subj_seg,
+        subj_start,
+        rs_len,
+        threshold,
+        q_base,
+        q_start,
+        q_len2d,
     )
     return np.asarray(jax.device_get(counts), dtype=np.int64)
 

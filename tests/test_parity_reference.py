@@ -104,6 +104,32 @@ class TestMatrixParity:
         cwd, paths = genomes
         assert_parity(andi_oracle, paths, cwd)
 
+    def test_progress_meter_stderr_bytes(self, andi_oracle, genomes):
+        """--progress=always: the \\r meter stream on stderr must be
+        byte-identical (reference src/dist_hack.h:40-44,74-87 — one update
+        per subject row plus the 0% header and ', done.'); VERDICT r2
+        missing #5."""
+        cwd, paths = genomes
+        # bytes mode: text=True would fold the meter's \r into \n
+        ref = subprocess.run(
+            [andi_oracle, "--progress=always", "-t", "1", *paths],
+            capture_output=True, cwd=str(cwd),
+        )
+        env = {**os.environ, "JAX_PLATFORMS": "cpu",
+               "ANDIX_MIN_BUCKET": "1024",
+               "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))}
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        got = subprocess.run(
+            [sys.executable, "-m", "andix.cli", "--progress=always", *paths],
+            capture_output=True, cwd=str(cwd), env=env,
+        )
+        assert b"\rComparing" in ref.stderr
+        assert got.stderr == ref.stderr, (
+            f"stderr meter mismatch\n--- andi ---\n{ref.stderr!r}\n"
+            f"--- andix ---\n{got.stderr!r}"
+        )
+        assert got.stdout == ref.stdout
+
     @pytest.mark.parametrize("model", ["Raw", "Kimura", "LogDet", "ANI"])
     def test_models(self, andi_oracle, genomes, model):
         cwd, paths = genomes
