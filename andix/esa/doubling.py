@@ -358,13 +358,17 @@ def levels_needed(length: int, packed: bool = False) -> int:
 def _tail_tiers(length: int, thr0: int) -> tuple[int, ...]:
     """Static compact-buffer sizes for the tail rounds: the first tier
     holds any tied count the full rounds can exit with (<= thr0), then
-    4x smaller per tier down to the minimum bucket."""
+    16x smaller per tier down to the minimum bucket.  A coarse ladder —
+    sorting a somewhat-too-big buffer costs microseconds at these sizes,
+    while every extra tier is another while_loop+sort in the compiled
+    module (XLA compile time on tunneled backends is minutes per large
+    program)."""
     if thr0 <= 0:
         return ()
     t0 = _bucket_t(min(length, thr0))
     tiers = [t0]
-    while tiers[-1] // 4 >= _MIN_BUCKET_T:
-        tiers.append(tiers[-1] // 4)
+    while tiers[-1] // 16 >= _MIN_BUCKET_T:
+        tiers.append(tiers[-1] // 16)
     return tuple(tiers)
 
 
@@ -440,22 +444,16 @@ def _lcp_from_level_buffer(sa, levels, lev_count, sym, base: int,
     return h.at[0].set(0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("packed", "L", "thr0", "tiers", "want_lcp"),
-)
-def _sa_lcp_core(
+def _sa_loop_traced(
     sym: jax.Array,
-    *,
     packed: bool,
     L: int,
     thr0: int,
     tiers: tuple[int, ...],
-    want_lcp: bool,
 ):
-    """One-dispatch SA (+ optional LCP): see module comment above.
-    Returns (sa, lcp, overflow); lcp is all-zero when want_lcp=False and
-    must be ignored when overflow is True."""
+    """Traced device-resident doubling driver: full rounds + tiered tail
+    rounds, levels collected into a fixed buffer.  Returns
+    (sa, levels, lev_count, overflow)."""
     length = int(sym.shape[0])
     base = BASE_WIDTH if packed else 1
     rank, tied, order = _initial_ranks(sym, length, packed)
@@ -524,6 +522,40 @@ def _sa_lcp_core(
             )
         )
 
+    return sa, levels, lev_idx, ovf
+
+
+@functools.partial(
+    jax.jit, static_argnames=("packed", "L", "thr0", "tiers")
+)
+def _sa_core(sym, *, packed, L, thr0, tiers):
+    """SA loop as its own program (compile-size split: one mega-module
+    with loop + walk takes far longer to compile than the two halves;
+    both dispatches are async, so the split costs no extra syncs)."""
+    return _sa_loop_traced(sym, packed, L, thr0, tiers)
+
+
+@functools.partial(jax.jit, static_argnames=("packed",))
+def _lcp_core(sa, levels, lev_count, sym, *, packed):
+    base = BASE_WIDTH if packed else 1
+    return _lcp_from_level_buffer(sa, levels, lev_count, sym, base, packed)
+
+
+def _sa_lcp_core(
+    sym: jax.Array,
+    *,
+    packed: bool,
+    L: int,
+    thr0: int,
+    tiers: tuple[int, ...],
+    want_lcp: bool,
+):
+    """Traced composition (used inside shard_map, where everything must
+    live in one program anyway).  Returns (sa, lcp, overflow); lcp is
+    all-zero when want_lcp=False and must be ignored when overflow is
+    True."""
+    base = BASE_WIDTH if packed else 1
+    sa, levels, lev_idx, ovf = _sa_loop_traced(sym, packed, L, thr0, tiers)
     if want_lcp:
         lcp = _lcp_from_level_buffer(
             sa, levels, lev_idx, sym, base, packed=packed
@@ -558,9 +590,13 @@ def sa_lcp_device(
     L = max(L, 1)
     thr0 = int(length * _BUCKET_FRAC)
     tiers = _tail_tiers(length, thr0)
-    sa, lcp, ovf = _sa_lcp_core(
-        sym, packed=packed, L=L, thr0=thr0, tiers=tiers, want_lcp=want_lcp
+    sa, levels, lev_idx, ovf = _sa_core(
+        sym, packed=packed, L=L, thr0=thr0, tiers=tiers
     )
+    if want_lcp:
+        lcp = _lcp_core(sa, levels, lev_idx, sym, packed=packed)
+    else:
+        lcp = jnp.zeros(0, jnp.int32)
     return sa, lcp, ovf, L < needed
 
 
