@@ -144,7 +144,8 @@ def subject_group_counts_device(
     jump_passes: int, exact_counts: bool,
 ):
     """Fused tables + replay: ONE device dispatch per subject group instead
-    of two — dispatch latency is seconds on degraded tunneled links."""
+    of two — dispatch latency is seconds on degraded tunneled links.
+    Returns (counts [Sg, G, 16], loop iterations)."""
     mlun, ps, jump = group_subject_tables(
         sa, lcp, segid, tq, subj_segs, subj_starts, thresholds, jump_passes
     )
@@ -186,7 +187,8 @@ def replay_rows_device(
     chunk: int = COUNT_CHUNK,
     chase: int = JUMP_CHASE,
 ):
-    """Grouped replay; returns int32[Sg, G, 16] substitution counts.
+    """Grouped replay; returns (int32[Sg, G, 16] substitution counts,
+    scalar iteration count — the loop's sequential depth, for profiling).
 
     Uniform work per lane-iteration: either one probe/jump step or one
     ``chunk``-site slice of pending substitution/equal counting.  Counting
@@ -266,18 +268,28 @@ def replay_rows_device(
         # while the gap exceeds the threshold no lucky anchor can fire
         # (the gap grows monotonically along the probe chain), so the
         # chain to the next anchor candidate is precomputed: jump there,
-        # then chase the partially-resolved table a few more hops.
+        # then chase the partially-resolved table a few more hops.  The
+        # whole jump+chase runs under a scalar cond — mid-divergence
+        # iterations (every probe an anchor, gap <= thr) skip its ~2*chase
+        # gathers entirely.
         gap0 = pos_q - last_q - last_len
         took = probe & (gap0 > thr)
-        safe_q = jnp.where(probe, pos_q, 0)  # probe => pos_q < qlen <= QB
-        pos_qj = jnp.where(
-            took, row_take(jump_b, qbase + safe_q) - qbase, pos_q
+
+        def jump_and_chase(pos_q):
+            safe_q = jnp.where(probe, pos_q, 0)  # probe => pos_q < qlen
+            pos_qj = jnp.where(
+                took, row_take(jump_b, qbase + safe_q) - qbase, pos_q
+            )
+            for _ in range(chase):
+                can = took & (pos_qj < qlen)
+                safe_j = jnp.where(can, pos_qj, 0)
+                nxt = row_take(jump_b, qbase + safe_j) - qbase
+                pos_qj = jnp.where(can & (nxt != pos_qj), nxt, pos_qj)
+            return pos_qj
+
+        pos_qj = jax.lax.cond(
+            jnp.any(took), jump_and_chase, lambda p: p, pos_q
         )
-        for _ in range(chase):
-            can = took & (pos_qj < qlen)
-            safe_j = jnp.where(can, pos_qj, 0)
-            nxt = row_take(jump_b, qbase + safe_j) - qbase
-            pos_qj = jnp.where(can & (nxt != pos_qj), nxt, pos_qj)
         in_range = probe & (pos_qj < qlen)
         probe_b = qbase + jnp.where(in_range, pos_qj, 0)
         probe_t = qs + jnp.where(in_range, pos_qj, 0)
@@ -394,6 +406,8 @@ def replay_rows_device(
         return out + (counts,)
 
     def body(state):
+        it = state[-1]
+        state = state[:-1]
         if exact_counts:
             # promote before deciding who probes (a lane with only a queued
             # trailing interval must count, not probe)
@@ -421,7 +435,7 @@ def replay_rows_device(
         state = jax.lax.cond(
             jnp.any(pending), chunk_phase, lambda s: s, state
         )
-        return state
+        return state + (it + 1,)
 
     z = jnp.zeros((sg, g), jnp.int32)
     f = jnp.zeros((sg, g), jnp.bool_)
@@ -430,5 +444,6 @@ def replay_rows_device(
         init = init + (z, z, z, z, jnp.zeros((sg, g, 16), jnp.int32))
     else:
         init = init + (jnp.zeros((sg, g, 16), jnp.int32),)
+    init = init + (jnp.zeros((), jnp.int32),)  # iteration counter
     final = jax.lax.while_loop(cond, body, init)
-    return final[-1]
+    return final[-2], final[-1]

@@ -550,7 +550,7 @@ class JaxBackend:
         import time
 
         t0 = time.time()
-        counts = subject_group_counts_device(
+        counts, iters = subject_group_counts_device(
             ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
             ctx.text_d, ctx.isa_d, ctx.rm,
             jnp.asarray(segs), jnp.asarray(starts),
@@ -558,11 +558,13 @@ class JaxBackend:
             ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
             jump_passes, exact,
         )
-        t0 = _prof(
-            f"matchstats+replay dispatch ({len(subject_genomes)} subj)",
-            t0, counts,
-        )
         counts_h = np.asarray(jax.device_get(counts), dtype=np.int64)
+        if __import__("os").environ.get("ANDIX_PROF_FILE"):
+            _prof(
+                f"matchstats+replay dispatch ({len(subject_genomes)} subj, "
+                f"{int(np.asarray(jax.device_get(iters)))} loop iters)",
+                t0,
+            )
 
         out: dict[int, dict[int, CountMatrix]] = {}
         for k, genome in enumerate(subject_genomes):

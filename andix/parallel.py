@@ -133,7 +133,7 @@ def _sharded_counts_fn(
             sa, lcp, segid, tq,
             subj_seg[0], subj_start[0], threshold[0], jump_passes,
         )
-        counts = replay_rows_device(
+        counts, _ = replay_rows_device(
             sym, isa, rm, mlun, ps, jump,
             subj_start[0], rs_len[0], threshold[0],
             q_base[0], q_start[0], q_len2d[0], exact,

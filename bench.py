@@ -152,8 +152,13 @@ def main() -> int:
         link = link_diagnostics()
 
     if do_profile and backend_name == "jax":
-        # profiled run first: absorbs compile-cache loads, and each phase
-        # syncs with a scalar readback so the attribution is real
+        # cold run first: absorbs compiles / persistent-cache loads so the
+        # profiled phases and the production number are pure execution
+        M, elapsed = run_once(seqs, backend_name)
+        runs.append({"kind": "cold", "s": round(elapsed, 2),
+                     "pairs_per_s": sig(pairs / elapsed, 4)})
+        # profiled warm run: each phase syncs with a scalar readback so
+        # the attribution is real
         prof_path = os.path.join(
             tempfile.mkdtemp(prefix="andix-bench-"), "phases.txt"
         )
@@ -164,7 +169,7 @@ def main() -> int:
         runs.append({"kind": "profiled", "s": round(elapsed, 2),
                      "pairs_per_s": sig(pairs / elapsed, 4)})
 
-    # production run: no per-phase syncs
+    # production run: warm, no per-phase syncs — the reported metric
     M, elapsed = run_once(seqs, backend_name)
     runs.append({"kind": "production", "s": round(elapsed, 2),
                  "pairs_per_s": sig(pairs / elapsed, 4)})
