@@ -155,6 +155,164 @@ def subject_group_counts_device(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("jump_passes", "ecap"))
+def subject_group_anchors_device(
+    sa, lcp, segid, tq, isa, rm,
+    subj_segs, subj_starts, rs_lens, thresholds,
+    q_base, q_start, q_len2d,
+    jump_passes: int, ecap: int,
+):
+    """Fused tables + anchor-event chain walk: ONE device dispatch per
+    subject group.  Returns (ev_lane, ev_q, ev_s, ev_len, ev_cnt, overflow,
+    iterations) — see ``chain_anchors_device``."""
+    mlun, ps, jump = group_subject_tables(
+        sa, lcp, segid, tq, subj_segs, subj_starts, thresholds, jump_passes
+    )
+    return chain_anchors_device(
+        isa, rm, mlun, ps, jump, subj_starts, rs_lens, thresholds,
+        q_base, q_start, q_len2d, ecap,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ecap", "chase"))
+def chain_anchors_device(
+    isa,  # int32[Np]
+    rm,  # rmq.RangeMin over the adjacent-LCP array
+    mlun_b,  # int32[Sg, QB] packed blob-order stats per grouped subject
+    ps_b,  # int32[Sg, QB]
+    jump_b,  # int32[Sg, QB]
+    subj_start,  # int32[Sg] text base of each RS_i
+    rs_len,  # int32[Sg]
+    threshold,  # int32[Sg]
+    q_base,  # int32[G] blob offset of each query lane
+    q_start,  # int32[G] text offset of each query lane
+    q_len2d,  # int32[Sg, G] (0 disables a lane)
+    ecap: int,
+    chase: int = JUMP_CHASE,
+):
+    """Anchor-extraction chain walk: the production replay's successor.
+
+    The substitution counts are a pure function of each lane's ANCHOR
+    SEQUENCE (consecutive-anchor pairing decisions + gap/equal-run contents,
+    ``dist_anchor`` src/process.c:160-211) — so the device loop only walks
+    the chain and records every accepted anchor (lane, pos_q, pos_s, len)
+    into a global event buffer; the 16-cell counting happens on host from
+    the events and the host-resident text (``andix.chain.events`` /
+    ``native.count_from_anchors_batch``).
+
+    This removes the [Sg, G, chunk] text gathers + histograms from the loop
+    body — measured at ~440-870 us per iteration (MICROBENCH_REPLAY.json),
+    >90% of the replay cost at genome scale — leaving only [Sg, G]-sized
+    probe work (a few us) and the cond-gated RMQ LCE.
+
+    Returns (ev_lane, ev_q, ev_s, ev_len — int32[ecap] filled up to ev_cnt
+    in chain order per lane, globally interleaved by iteration; ev_cnt;
+    overflow — True when the buffer was too small (caller falls back to the
+    counting loop); iterations)."""
+    sg, qb = mlun_b.shape
+    g = q_base.shape[0]
+
+    qbase = jnp.broadcast_to(q_base[None, :], (sg, g))
+    qs = jnp.broadcast_to(q_start[None, :], (sg, g))
+    qlen = q_len2d
+    thr = threshold[:, None]
+    ss = subj_start[:, None]
+    rl = rs_len[:, None]
+    lane_iota = jnp.arange(sg * g, dtype=jnp.int32)
+
+    def row_take(table, idx):
+        return jnp.take_along_axis(table, idx, axis=1)
+
+    def lce(a_text, b_text):
+        t1 = isa[a_text]
+        t2 = isa[b_text]
+        lo = jnp.minimum(t1, t2) + 1
+        hi = jnp.maximum(t1, t2)
+        return rmq.range_min(rm, lo, hi)
+
+    def cond(state):
+        return jnp.any(~state[4])
+
+    def body(state):
+        (pos_q, last_q, last_s, last_len, fin,
+         ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it) = state
+        probe = ~fin
+
+        gap0 = pos_q - last_q - last_len
+        took = probe & (gap0 > thr)
+
+        def jump_and_chase(pos_q):
+            safe_q = jnp.where(probe, pos_q, 0)
+            pos_qj = jnp.where(
+                took, row_take(jump_b, qbase + safe_q) - qbase, pos_q
+            )
+            for _ in range(chase):
+                can = took & (pos_qj < qlen)
+                safe_j = jnp.where(can, pos_qj, 0)
+                nxt = row_take(jump_b, qbase + safe_j) - qbase
+                pos_qj = jnp.where(can & (nxt != pos_qj), nxt, pos_qj)
+            return pos_qj
+
+        pos_qj = jax.lax.cond(
+            jnp.any(took), jump_and_chase, lambda p: p, pos_q
+        )
+        in_range = probe & (pos_qj < qlen)
+        probe_b = qbase + jnp.where(in_range, pos_qj, 0)
+        probe_t = qs + jnp.where(in_range, pos_qj, 0)
+
+        advance = pos_qj - last_q
+        gap = advance - last_len
+        try_s = last_s + advance
+        lucky_pre = in_range & (try_s < rl) & (gap >= 0) & (gap <= thr)
+        lucky_len = jax.lax.cond(
+            jnp.any(lucky_pre),
+            lambda: jnp.where(
+                lucky_pre,
+                lce(probe_t, ss + jnp.where(lucky_pre, try_s, 0)),
+                0,
+            ),
+            lambda: jnp.zeros((sg, g), jnp.int32),
+        )
+        lucky_found = lucky_pre & (lucky_len >= thr)
+
+        v = row_take(mlun_b, probe_b)
+        aml = v & (UNIQ_BIT - 1)
+        aun = (v & UNIQ_BIT) != 0
+        found = in_range & (lucky_found | (aun & (aml >= thr)))
+        this_len = jnp.where(lucky_found, lucky_len, aml)
+        this_s = jnp.where(lucky_found, try_s, row_take(ps_b, probe_b))
+
+        # record anchor events: per-iteration compaction (<= sg*g events)
+        f = found.reshape(-1).astype(jnp.int32)
+        excl = jnp.cumsum(f, dtype=jnp.int32) - f
+        slot = jnp.where(f > 0, ev_cnt + excl, ecap)
+        ev_lane = ev_lane.at[slot].set(lane_iota, mode="drop")
+        ev_q = ev_q.at[slot].set(pos_qj.reshape(-1), mode="drop")
+        ev_s = ev_s.at[slot].set(this_s.reshape(-1), mode="drop")
+        ev_len = ev_len.at[slot].set(this_len.reshape(-1), mode="drop")
+        total = jnp.sum(f, dtype=jnp.int32)
+        ev_cnt = ev_cnt + total
+        ovf = ovf | (ev_cnt > ecap)
+
+        last_q = jnp.where(found, pos_qj, last_q)
+        last_s = jnp.where(found, this_s, last_s)
+        last_len = jnp.where(found, this_len, last_len)
+        pos_q = jnp.where(probe, pos_qj + this_len + 1, pos_q)
+        fin = fin | (probe & (pos_q >= qlen))
+
+        return (pos_q, last_q, last_s, last_len, fin,
+                ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it + 1)
+
+    z = jnp.zeros((sg, g), jnp.int32)
+    e = jnp.zeros(ecap, jnp.int32)
+    init = (z, z, z, z, qlen <= 0,
+            e, e, e, e, jnp.zeros((), jnp.int32), jnp.bool_(False),
+            jnp.zeros((), jnp.int32))
+    final = jax.lax.while_loop(cond, body, init)
+    (_, _, _, _, _, ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it) = final
+    return ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it
+
+
 def _hist16(idx, ok):
     """idx/ok [..., C] -> [..., 16] histogram of masked cell indices."""
     onehot = (idx[..., None] == jnp.arange(16, dtype=jnp.int32)) & ok[..., None]

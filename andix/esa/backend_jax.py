@@ -510,10 +510,131 @@ class JaxBackend:
         model_kind,
     ) -> dict[int, dict[int, "object"]]:
         """Grouped device path: matchstats per subject, then ONE lock-step
-        replay over every (subject, query) lane of the group — the
-        per-iteration while_loop cost amortizes across the group, and
-        tables + replay fuse into a single dispatch.  Only the 16 counts
-        per pair are fetched."""
+        chain walk over every (subject, query) lane of the group.
+
+        Default mode ("events"): the device loop only records the anchor
+        sequence per lane (~16 bytes per anchor cross the link) and the
+        16-cell counting happens on host from the events + the host-resident
+        text — the per-site [Sg, G, chunk] text gathers that dominated the
+        in-loop counting (~870 us/iteration, MICROBENCH_REPLAY.json) never
+        run.  ANDIX_REPLAY=loop keeps the count-in-loop path (also the
+        fallback when the event buffer overflows on pathological inputs)."""
+        import os as _os
+
+        if _os.environ.get("ANDIX_REPLAY", "events") == "events":
+            out = self._subject_group_counts_events(
+                ctx, subject_genomes, subjects, model_kind
+            )
+            if out is not None:
+                return out
+        return self._subject_group_counts_loop(
+            ctx, subject_genomes, subjects, model_kind
+        )
+
+    def _group_tables(self, ctx, subject_genomes, subjects):
+        """Shared [Sg]-padded subject tables for the grouped dispatches."""
+        layout = ctx.layout
+        group = int(
+            __import__("os").environ.get("ANDIX_REPLAY_GROUP", "8")
+        )
+        sg = max(group, len(subject_genomes))
+        gp = ctx.q_start_d.shape[0]
+        segs = np.full(sg, -1, dtype=np.int32)
+        starts = np.zeros(sg, dtype=np.int32)
+        rs_lens = np.ones(sg, dtype=np.int32)
+        thresholds = np.full(sg, 2**29, dtype=np.int32)
+        q_len2d = np.zeros((sg, gp), dtype=np.int32)
+        q_len_row = np.asarray(ctx.q_len_h, dtype=np.int32)
+        for k, genome in enumerate(subject_genomes):
+            subj_seg, subj_start = self._subject_seg(layout, genome)
+            segs[k] = subj_seg
+            starts[k] = subj_start
+            rs_lens[k] = subjects[genome].len
+            thresholds[k] = subjects[genome].threshold
+            q_len2d[k] = q_len_row
+        return sg, gp, segs, starts, rs_lens, thresholds, q_len2d
+
+    def _subject_group_counts_events(
+        self, ctx, subject_genomes, subjects, model_kind
+    ):
+        """Anchor-event chain walk + host counting.  Returns None when the
+        event buffer overflowed (caller falls back to the counting loop)."""
+        import time
+
+        from ..chain import events as chain_events
+        from ..chain.replay_device import subject_group_anchors_device
+        from ..model import CountMatrix
+
+        sg, gp, segs, starts, rs_lens, thresholds, q_len2d = (
+            self._group_tables(ctx, subject_genomes, subjects)
+        )
+        qb = ctx.tq_d.shape[0]
+        jump_passes = int(
+            __import__("os").environ.get("ANDIX_JUMP_PASSES", "0")
+        )
+        jump_passes = min(jump_passes, max(1, (qb - 1).bit_length()))
+        ecap = max(1 << 16, qb // 2)
+
+        t0 = time.time()
+        ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters = (
+            subject_group_anchors_device(
+                ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+                ctx.isa_d, ctx.rm,
+                jnp.asarray(segs), jnp.asarray(starts),
+                jnp.asarray(rs_lens), jnp.asarray(thresholds),
+                ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
+                jump_passes, ecap,
+            )
+        )
+        cnt, ovf_h, it_h = (
+            int(v) for v in np.asarray(
+                jax.device_get(jnp.stack([ev_cnt, ovf.astype(jnp.int32),
+                                          iters]))
+            )
+        )
+        if ovf_h:
+            return None
+        k = bucket(max(cnt, 1), minimum=4096)
+        k = min(k, ecap)
+        ev = np.asarray(jax.device_get(
+            jnp.stack([ev_lane[:k], ev_q[:k], ev_s[:k], ev_len[:k]])
+        ))[:, :cnt]
+        t0 = _prof(
+            f"anchor chain dispatch ({len(subject_genomes)} subj, "
+            f"{it_h} loop iters, {cnt} events)", t0,
+        )
+
+        q_off_pad = np.full(gp + 1, ctx.q_off[-1], dtype=np.int64)
+        q_off_pad[: len(ctx.q_off)] = ctx.q_off
+        subjects_rs = [
+            subjects[genome].rs for genome in subject_genomes
+        ] + [None] * (sg - len(subject_genomes))
+        counts_h = chain_events.group_counts_from_events(
+            ev[0], ev[1], ev[2], ev[3], sg, gp,
+            subjects_rs, thresholds, ctx.query_blob, q_off_pad,
+            model_kind, self.threads,
+        )
+        _prof(f"host count from {cnt} events", t0)
+
+        out: dict[int, dict[int, CountMatrix]] = {}
+        for k2, genome in enumerate(subject_genomes):
+            row = {}
+            for g, qgenome in enumerate(ctx.q_genomes):
+                if qgenome == genome:
+                    continue
+                seq_len = int(ctx.q_off[g + 1] - ctx.q_off[g])
+                row[qgenome] = CountMatrix(counts_h[k2, g].copy(), seq_len)
+            out[genome] = row
+        return out
+
+    def _subject_group_counts_loop(
+        self,
+        ctx: BlockContext,
+        subject_genomes: list[int],
+        subjects: dict[int, "object"],
+        model_kind,
+    ) -> dict[int, dict[int, "object"]]:
+        """Count-in-loop device path (fallback / A-B reference)."""
         from ..chain.replay_device import subject_group_counts_device
         from ..model import CountMatrix
 

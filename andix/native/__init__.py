@@ -52,6 +52,12 @@ def _load():
     ]
     lib.dist_anchor_replay_batch.restype = None
 
+    lib.count_from_anchors_batch.argtypes = [
+        i32p, i32p, i32p, i64p, ctypes.c_int64, ctypes.c_int64, u8p, i64p,
+        i64p, u8p, i64p, ctypes.c_int, ctypes.c_int, i64p,
+    ]
+    lib.count_from_anchors_batch.restype = None
+
     _lib = lib
     return _lib
 
@@ -102,6 +108,55 @@ def dist_anchor_replay(
         threshold,
         1 if exact_counts else 0,
         counts,
+    )
+    return counts
+
+
+def count_from_anchors_batch(
+    ev_q: np.ndarray,
+    ev_s: np.ndarray,
+    ev_len: np.ndarray,
+    bounds: np.ndarray,
+    sg: int,
+    g: int,
+    subjects_rs: list,
+    thresholds,
+    query_blob: np.ndarray,
+    q_off: np.ndarray,
+    exact_counts: bool,
+    threads: int = 0,
+) -> np.ndarray:
+    """16-cell counts for every lane of a subject group from its anchor
+    events (lane-sorted, chain order).  Returns int64[sg, g, 16]."""
+    lib = _load()
+    assert lib is not None
+    rs_off = np.zeros(sg + 1, dtype=np.int64)
+    parts = []
+    for k in range(sg):
+        rs = subjects_rs[k] if k < len(subjects_rs) else None
+        ln = 0 if rs is None else len(rs)
+        rs_off[k + 1] = rs_off[k] + ln
+        if ln:
+            parts.append(np.ascontiguousarray(rs, dtype=np.uint8))
+    rs_blob = (
+        np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
+    )
+    thr = np.zeros(sg, dtype=np.int64)
+    for k in range(min(sg, len(thresholds))):
+        thr[k] = int(thresholds[k])
+    counts = np.zeros((sg, g, 16), dtype=np.int64)
+    qb = np.zeros(len(q_off), dtype=np.int64)
+    qb[:] = q_off
+    query_blob = np.ascontiguousarray(query_blob, dtype=np.uint8)
+    if len(query_blob) == 0:
+        query_blob = np.zeros(1, dtype=np.uint8)
+    lib.count_from_anchors_batch(
+        np.ascontiguousarray(ev_q, dtype=np.int32),
+        np.ascontiguousarray(ev_s, dtype=np.int32),
+        np.ascontiguousarray(ev_len, dtype=np.int32),
+        np.ascontiguousarray(bounds, dtype=np.int64),
+        sg, g, rs_blob, rs_off, thr, query_blob, qb,
+        1 if exact_counts else 0, threads, counts.reshape(-1),
     )
     return counts
 

@@ -233,4 +233,85 @@ void dist_anchor_replay_batch(const int32_t* matchlen, const uint8_t* unique,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Counting from device-recorded anchor events
+// ---------------------------------------------------------------------------
+
+// The device chain walk records accepted anchors (q, s, len) in chain order
+// per lane; the counting block of dist_anchor (src/process.c:160-211) is a
+// pure function of that sequence plus the host-resident text.  One lane:
+static void count_from_anchors(const int32_t* ev_q, const int32_t* ev_s,
+                               const int32_t* ev_len, int64_t n_ev,
+                               const uint8_t* rs, int64_t rs_len,
+                               const uint8_t* query, int64_t m,
+                               int64_t threshold, int exact_counts,
+                               int64_t counts[16]) {
+    std::memset(counts, 0, 16 * sizeof(int64_t));
+    int64_t last_q = 0, last_s = 0, last_len = 0;
+    bool last_right = false;
+    const int64_t border = rs_len / 2;
+
+    for (int64_t k = 0; k < n_ev; k++) {
+        const int64_t q = ev_q[k], s = ev_s[k], ln = ev_len[k];
+        const int64_t end_s = last_s + last_len;
+        const int64_t end_q = last_q + last_len;
+        if (s > end_s && q - end_q == s - end_s &&
+            (s < border) == (last_s < border)) {
+            count_equal(counts, query + last_q, last_len, exact_counts);
+            count_subst(counts, rs + end_s, query + end_q, q - end_q);
+            last_right = true;
+        } else {
+            if (last_right || last_len >= threshold * 2) {
+                count_equal(counts, query + last_q, last_len, exact_counts);
+            }
+            last_right = false;
+        }
+        last_q = q;
+        last_s = s;
+        last_len = ln;
+    }
+
+    if (last_len >= m) {  // identical sequences (src/process.c:199-203)
+        count_equal(counts, query, m, exact_counts);
+        return;
+    }
+    if (last_right || last_len >= threshold * 2) {  // trailing anchor
+        count_equal(counts, query + last_q, last_len, exact_counts);
+    }
+}
+
+// Batched over the sg x g lanes of a subject group.  Events are sorted by
+// lane (stable, chain order within lane); bounds[lane]..bounds[lane+1]
+// delimits each lane's events.  rs_off[k+1] == rs_off[k] marks a padding
+// subject row.  counts_out is int64[sg*g*16].
+void count_from_anchors_batch(const int32_t* ev_q, const int32_t* ev_s,
+                              const int32_t* ev_len, const int64_t* bounds,
+                              int64_t sg, int64_t g, const uint8_t* rs_blob,
+                              const int64_t* rs_off,
+                              const int64_t* thresholds,
+                              const uint8_t* query_blob, const int64_t* q_off,
+                              int exact_counts, int threads,
+                              int64_t* counts_out) {
+#ifdef _OPENMP
+    if (threads > 0) omp_set_num_threads(threads);
+#endif
+#pragma omp parallel for schedule(dynamic) collapse(2)
+    for (int64_t k = 0; k < sg; k++) {
+        for (int64_t qg = 0; qg < g; qg++) {
+            const int64_t lane = k * g + qg;
+            int64_t* out = counts_out + 16 * lane;
+            const int64_t rlo = rs_off[k], rhi = rs_off[k + 1];
+            const int64_t qlo = q_off[qg], qhi = q_off[qg + 1];
+            if (rhi <= rlo || qhi <= qlo) {
+                std::memset(out, 0, 16 * sizeof(int64_t));
+                continue;
+            }
+            const int64_t lo = bounds[lane], hi = bounds[lane + 1];
+            count_from_anchors(ev_q + lo, ev_s + lo, ev_len + lo, hi - lo,
+                               rs_blob + rlo, rhi - rlo, query_blob + qlo,
+                               qhi - qlo, thresholds[k], exact_counts, out);
+        }
+    }
+}
+
 }  // extern "C"

@@ -53,11 +53,13 @@ offs = jnp.arange(256, dtype=jnp.int32)
 
 
 def run(label, body_extra, n_iters=ITERS):
+    # text/table/rm must be jit ARGUMENTS: closure constants get embedded
+    # in the program upload and the remote compile rejects >100MB bodies
     @jax.jit
-    def loop(n):
+    def loop(n, text, table, rm):
         def body(st):
             i, x = st
-            x = body_extra(i, x)
+            x = body_extra(i, x, text, table, rm)
             return i + 1, x
 
         def cond(st):
@@ -68,23 +70,23 @@ def run(label, body_extra, n_iters=ITERS):
         return x[0, :1] + i
 
     t0 = time.time()
-    sync(loop(jnp.int32(100)))
+    sync(loop(jnp.int32(100), text, table, rm))
     log(f"  {label} compile+100: {time.time()-t0:.2f}s")
     t0 = time.time()
-    sync(loop(jnp.int32(n_iters)))
+    sync(loop(jnp.int32(n_iters), text, table, rm))
     dt = time.time() - t0
     us = dt / n_iters * 1e6
     results[label] = {"s": round(dt, 3), "us_per_iter": round(us, 2)}
     log(f"  {label}: {dt:.2f}s = {us:.1f}us/iter")
 
 
-run("base", lambda i, x: x + 1)
+run("base", lambda i, x, text, table, rm: x + 1)
 
-run("g64", lambda i, x: x + jnp.take_along_axis(
+run("g64", lambda i, x, text, table, rm: x + jnp.take_along_axis(
     table, (x + i) % QB, axis=1)[:, :8])
 
 
-def g64x10(i, x):
+def g64x10(i, x, text, table, rm):
     for _ in range(10):
         x = (x + jnp.take_along_axis(table, (x + i) % QB, axis=1)[:, :8]) % QB
     return x
@@ -92,7 +94,7 @@ def g64x10(i, x):
 run("g64x10", g64x10)
 
 
-def chunk1(i, x):
+def chunk1(i, x, text, table, rm):
     base_idx = (x[..., None] + i + offs) % N
     s = text[base_idx]
     return x + s.sum(axis=-1, dtype=jnp.int32) % 7
@@ -103,7 +105,7 @@ run("chunk1", chunk1)
 _DIAG = jnp.arange(16, dtype=jnp.int32)
 
 
-def chunk2hist(i, x):
+def chunk2hist(i, x, text, table, rm):
     b = (x[..., None] + i + offs) % N
     s = text[b]
     q = text[(b + 13) % N]
@@ -115,7 +117,7 @@ def chunk2hist(i, x):
 run("chunk2hist", chunk2hist)
 
 
-def lce(i, x):
+def lce(i, x, text, table, rm):
     lo = (x + i) % (N - 2000)
     hi = lo + (x % 1000)
     return x + rmq.range_min(rm, lo, hi) % 5
@@ -123,8 +125,10 @@ def lce(i, x):
 run("lce", lce)
 
 
-def cond_skip(i, x):
-    return jax.lax.cond(i < -1, lambda x: chunk2hist(i, x), lambda x: x, x)
+def cond_skip(i, x, text, table, rm):
+    return jax.lax.cond(
+        i < -1, lambda x: chunk2hist(i, x, text, table, rm),
+        lambda x: x, x)
 
 run("cond_skip", cond_skip)
 

@@ -77,6 +77,53 @@ class TestDeviceReplay:
         n = len(seqs)
         assert (grid_counts(one, n) == grid_counts(blk, n)).all()
 
+    @pytest.mark.parametrize("kind", [Model.JC, Model.LOGDET])
+    def test_events_path_equals_loop_path(self, rng, dna, mutator, kind,
+                                          monkeypatch):
+        # the anchor-event chain walk + host counting must reproduce the
+        # count-in-loop device replay exactly, per model-exactness mode
+        base = dna(rng, 700)
+        seqs = [Seq(base, "g0")] + [
+            Seq(mutator(rng, base, r), f"g{k+1}")
+            for k, r in enumerate([0.004, 0.05, 0.2])
+        ]
+        ctx = Context(model=kind)
+        monkeypatch.setenv("ANDIX_REPLAY", "events")
+        ev = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        monkeypatch.setenv("ANDIX_REPLAY", "loop")
+        lp = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        n = len(seqs)
+        assert (grid_counts(ev, n) == grid_counts(lp, n)).all()
+
+    def test_events_python_fallback_matches_native(self, rng, dna, mutator):
+        # group_counts_from_events: python path == native C++ path
+        from andix import native
+        from andix.chain import events as chain_events
+        from andix.runtime import Model as MK
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        E = 200
+        ev_lane = rng.integers(0, 4, E).astype(np.int32)
+        q = np.sort(rng.integers(0, 500, E)).astype(np.int32)
+        ev_q, ev_s, ev_len = q, (q + 3).astype(np.int32), rng.integers(
+            10, 40, E
+        ).astype(np.int32)
+        rs = dna(rng, 1200)
+        blob = dna(rng, 1000)
+        q_off = np.array([0, 500, 1000], dtype=np.int64)
+        args = (ev_lane, ev_q, ev_s, ev_len, 2, 2, [rs, rs], [14, 14],
+                blob, q_off, MK.JC, 0)
+        got = chain_events.group_counts_from_events(*args)
+        native_fn = native.count_from_anchors_batch
+        try:
+            # force the python path by hiding the native symbol
+            del native.count_from_anchors_batch
+            want = chain_events.group_counts_from_events(*args)
+        finally:
+            native.count_from_anchors_batch = native_fn
+        assert (got == want).all()
+
     def test_many_seeds_vs_numpy_backend(self, dna, mutator):
         # fuzz: several seeds, compare full grids against the numpy backend
         for seed in range(5):
