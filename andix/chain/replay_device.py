@@ -155,12 +155,14 @@ def subject_group_counts_device(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("jump_passes", "ecap"))
+@functools.partial(
+    jax.jit, static_argnames=("jump_passes", "ecap", "unroll")
+)
 def subject_group_anchors_device(
     sa, lcp, segid, tq, isa, rm,
     subj_segs, subj_starts, rs_lens, thresholds,
     q_base, q_start, q_len2d,
-    jump_passes: int, ecap: int,
+    jump_passes: int, ecap: int, unroll: int = 1,
 ):
     """Fused tables + anchor-event chain walk: ONE device dispatch per
     subject group.  Returns (ev_lane, ev_q, ev_s, ev_len, ev_cnt, overflow,
@@ -170,11 +172,11 @@ def subject_group_anchors_device(
     )
     return chain_anchors_device(
         isa, rm, mlun, ps, jump, subj_starts, rs_lens, thresholds,
-        q_base, q_start, q_len2d, ecap,
+        q_base, q_start, q_len2d, ecap, unroll=unroll,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ecap", "chase"))
+@functools.partial(jax.jit, static_argnames=("ecap", "chase", "unroll"))
 def chain_anchors_device(
     isa,  # int32[Np]
     rm,  # rmq.RangeMin over the adjacent-LCP array
@@ -189,6 +191,7 @@ def chain_anchors_device(
     q_len2d,  # int32[Sg, G] (0 disables a lane)
     ecap: int,
     chase: int = JUMP_CHASE,
+    unroll: int = 1,
 ):
     """Anchor-extraction chain walk: the production replay's successor.
 
@@ -230,12 +233,9 @@ def chain_anchors_device(
         hi = jnp.maximum(t1, t2)
         return rmq.range_min(rm, lo, hi)
 
-    def cond(state):
-        return jnp.any(~state[4])
-
-    def body(state):
-        (pos_q, last_q, last_s, last_len, fin,
-         ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it) = state
+    def one_step(pos_q, last_q, last_s, last_len, fin):
+        """One probe step of every lane; returns the new chain state plus
+        this step's (found, pos_qj, this_s, this_len) for event recording."""
         probe = ~fin
 
         gap0 = pos_q - last_q - last_len
@@ -282,35 +282,64 @@ def chain_anchors_device(
         this_len = jnp.where(lucky_found, lucky_len, aml)
         this_s = jnp.where(lucky_found, try_s, row_take(ps_b, probe_b))
 
-        # record anchor events: per-iteration compaction (<= sg*g events)
-        f = found.reshape(-1).astype(jnp.int32)
-        excl = jnp.cumsum(f, dtype=jnp.int32) - f
-        slot = jnp.where(f > 0, ev_cnt + excl, ecap)
-        ev_lane = ev_lane.at[slot].set(lane_iota, mode="drop")
-        ev_q = ev_q.at[slot].set(pos_qj.reshape(-1), mode="drop")
-        ev_s = ev_s.at[slot].set(this_s.reshape(-1), mode="drop")
-        ev_len = ev_len.at[slot].set(this_len.reshape(-1), mode="drop")
-        total = jnp.sum(f, dtype=jnp.int32)
-        ev_cnt = ev_cnt + total
-        ovf = ovf | (ev_cnt > ecap)
-
         last_q = jnp.where(found, pos_qj, last_q)
         last_s = jnp.where(found, this_s, last_s)
         last_len = jnp.where(found, this_len, last_len)
         pos_q = jnp.where(probe, pos_qj + this_len + 1, pos_q)
         fin = fin | (probe & (pos_q >= qlen))
+        return (pos_q, last_q, last_s, last_len, fin,
+                found, pos_qj, this_s, this_len)
+
+    def cond(state):
+        return jnp.any(~state[4])
+
+    def body(state):
+        (pos_q, last_q, last_s, last_len, fin,
+         ev_lane_len, ev_qs, ev_cnt, ovf, it) = state
+
+        founds, qjs, ths, tls = [], [], [], []
+        for _ in range(unroll):
+            (pos_q, last_q, last_s, last_len, fin,
+             found, pos_qj, this_s, this_len) = one_step(
+                pos_q, last_q, last_s, last_len, fin
+            )
+            founds.append(found.reshape(-1))
+            qjs.append(pos_qj.reshape(-1))
+            ths.append(this_s.reshape(-1))
+            tls.append(this_len.reshape(-1))
+
+        # record the K steps' anchor events with ONE batched compaction:
+        # step-major flattening preserves chain order per lane (steps are
+        # ordered; within a step, distinct lanes)
+        f = jnp.concatenate(founds).astype(jnp.int32)
+        excl = jnp.cumsum(f, dtype=jnp.int32) - f
+        slot = jnp.where(f > 0, ev_cnt + excl, ecap)
+        lanes_k = jnp.concatenate([lane_iota] * unroll).astype(jnp.int64)
+        lane_len = (lanes_k << 32) | jnp.concatenate(tls).astype(jnp.int64)
+        q_s = (
+            jnp.concatenate(qjs).astype(jnp.int64) << 32
+        ) | jnp.concatenate(ths).astype(jnp.int64)
+        ev_lane_len = ev_lane_len.at[slot].set(lane_len, mode="drop")
+        ev_qs = ev_qs.at[slot].set(q_s, mode="drop")
+        total = jnp.sum(f, dtype=jnp.int32)
+        ev_cnt = ev_cnt + total
+        ovf = ovf | (ev_cnt > ecap)
 
         return (pos_q, last_q, last_s, last_len, fin,
-                ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it + 1)
+                ev_lane_len, ev_qs, ev_cnt, ovf, it + 1)
 
     z = jnp.zeros((sg, g), jnp.int32)
-    e = jnp.zeros(ecap, jnp.int32)
     init = (z, z, z, z, qlen <= 0,
-            e, e, e, e, jnp.zeros((), jnp.int32), jnp.bool_(False),
+            jnp.zeros(ecap, jnp.int64), jnp.zeros(ecap, jnp.int64),
+            jnp.zeros((), jnp.int32), jnp.bool_(False),
             jnp.zeros((), jnp.int32))
     final = jax.lax.while_loop(cond, body, init)
-    (_, _, _, _, _, ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it) = final
-    return ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it
+    (_, _, _, _, _, ev_lane_len, ev_qs, ev_cnt, ovf, it) = final
+    ev_lane = (ev_lane_len >> 32).astype(jnp.int32)
+    ev_len = (ev_lane_len & 0x7FFFFFFF).astype(jnp.int32)
+    ev_q = (ev_qs >> 32).astype(jnp.int32)
+    ev_s = (ev_qs & 0x7FFFFFFF).astype(jnp.int32)
+    return ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it * unroll
 
 
 def _hist16(idx, ok):

@@ -351,12 +351,26 @@ class JaxBackend:
         # ANDIX_SA_LOOP=host keeps the legacy per-round-readback driver
         # for A/B profiling (VERDICT r2 #1)
         sa_mode = __import__("os").environ.get("ANDIX_SA_LOOP", "device")
+        # sampled-PLCP LCP (plcp.py) needs the block-text alphabet contract;
+        # texts from device_text satisfy it by construction, but verify the
+        # bytes anyway (ANDIX_LCP=levels keeps the rank-level walk for A/B)
+        lcp_mode = "levels"
+        if (
+            packed_ranks
+            and __import__("os").environ.get("ANDIX_LCP", "plcp") == "plcp"
+        ):
+            present = np.nonzero(np.bincount(layout.u8, minlength=256))[0]
+            from . import plcp as _plcp_mod
+
+            if all(int(b) in _plcp_mod.ALPHABET_U8 for b in present):
+                lcp_mode = "plcp"
         host_lcp = not use_device_lcp
         sa_d = lcp_d = None
         if use_device_lcp and sa_mode != "host":
             sa_d, lcp_d, ovf_d, may_ovf = doubling.sa_lcp_device(
                 sym_d, packed=packed_ranks,
                 max_levels=budget if self.device_lcp is None else None,
+                lcp_mode=lcp_mode,
             )
             if may_ovf and bool(np.asarray(jax.device_get(ovf_d))):
                 # level buffer overflowed (pathologically repetitive
@@ -574,6 +588,9 @@ class JaxBackend:
         )
         jump_passes = min(jump_passes, max(1, (qb - 1).bit_length()))
         ecap = max(1 << 16, qb // 2)
+        unroll = int(
+            __import__("os").environ.get("ANDIX_PROBE_UNROLL", "4")
+        )
 
         t0 = time.time()
         ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters = (
@@ -583,7 +600,7 @@ class JaxBackend:
                 jnp.asarray(segs), jnp.asarray(starts),
                 jnp.asarray(rs_lens), jnp.asarray(thresholds),
                 ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
-                jump_passes, ecap,
+                jump_passes, ecap, unroll,
             )
         )
         cnt, ovf_h, it_h = (

@@ -450,22 +450,32 @@ def _sa_loop_traced(
     L: int,
     thr0: int,
     tiers: tuple[int, ...],
+    level_min_k: int = 0,
 ):
     """Traced device-resident doubling driver: full rounds + tiered tail
     rounds, levels collected into a fixed buffer.  Returns
-    (sa, levels, lev_count, overflow)."""
+    (sa, levels, lev_count, overflow).
+
+    ``level_min_k`` > 0 records only rounds whose offset k is at least that
+    value (post-round rank width >= 2*level_min_k) and skips the initial
+    rank level — the sampled-PLCP LCP (``plcp.plcp_lcp``) only needs the
+    high-width levels for its walk escape, so the buffer shrinks from
+    ~log2(N) rows to a handful."""
     length = int(sym.shape[0])
     base = BASE_WIDTH if packed else 1
     rank, tied, order = _initial_ranks(sym, length, packed)
 
     levels = jnp.zeros((L, length), jnp.int32)
-    levels = jax.lax.dynamic_update_index_in_dim(levels, rank, 0, 0)
-    lev_idx = jnp.int32(1)
+    if level_min_k == 0:
+        levels = jax.lax.dynamic_update_index_in_dim(levels, rank, 0, 0)
+        lev_idx = jnp.int32(1)
+    else:
+        lev_idx = jnp.int32(0)
     ovf = jnp.bool_(False)
     k = jnp.int32(base)
     sa = order
 
-    def push(levels, lev_idx, ovf, rank, tied):
+    def push(levels, lev_idx, ovf, rank, tied, k_used):
         # mirror the host loop: a level is recorded only when ties remain
         # after the round (all-distinct final levels are never appended);
         # once past the buffer, keep sorting but flag the overflow
@@ -473,7 +483,7 @@ def _sa_loop_traced(
         levels = jax.lax.dynamic_update_index_in_dim(
             levels, rank, slot, 0
         )
-        has = tied > 0
+        has = (tied > 0) & (k_used >= level_min_k)
         ovf = ovf | (has & (lev_idx >= L))
         lev_idx = lev_idx + has.astype(jnp.int32)
         return levels, lev_idx, ovf
@@ -488,7 +498,7 @@ def _sa_loop_traced(
         rank, tied, sa = _doubling_round(
             rank, jnp.minimum(k, length), length
         )
-        levels, lev_idx, ovf = push(levels, lev_idx, ovf, rank, tied)
+        levels, lev_idx, ovf = push(levels, lev_idx, ovf, rank, tied, k)
         k = jnp.minimum(k * 2, jnp.int32(1 << 30))
         return rank, sa, k, tied, levels, lev_idx, ovf
 
@@ -510,7 +520,7 @@ def _sa_loop_traced(
             rank, sa, slots, sa_vals, tied = _bucketed_round(
                 rank, sa, slots, sa_vals, jnp.minimum(k, length), tp
             )
-            levels, lev_idx, ovf = push(levels, lev_idx, ovf, rank, tied)
+            levels, lev_idx, ovf = push(levels, lev_idx, ovf, rank, tied, k)
             k = jnp.minimum(k * 2, jnp.int32(1 << 30))
             return rank, sa, slots, sa_vals, k, tied, levels, lev_idx, ovf
 
@@ -526,13 +536,13 @@ def _sa_loop_traced(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("packed", "L", "thr0", "tiers")
+    jax.jit, static_argnames=("packed", "L", "thr0", "tiers", "level_min_k")
 )
-def _sa_core(sym, *, packed, L, thr0, tiers):
+def _sa_core(sym, *, packed, L, thr0, tiers, level_min_k=0):
     """SA loop as its own program (compile-size split: one mega-module
     with loop + walk takes far longer to compile than the two halves;
     both dispatches are async, so the split costs no extra syncs)."""
-    return _sa_loop_traced(sym, packed, L, thr0, tiers)
+    return _sa_loop_traced(sym, packed, L, thr0, tiers, level_min_k)
 
 
 @functools.partial(jax.jit, static_argnames=("packed",))
@@ -570,26 +580,48 @@ def sa_lcp_device(
     packed: bool = False,
     max_levels: int | None = None,
     want_lcp: bool = True,
+    lcp_mode: str = "levels",
 ):
     """Suffix array + adjacent LCP in one device dispatch.
 
+    ``lcp_mode="plcp"`` (block texts only — requires the packed-alphabet
+    contract, see ``andix.esa.plcp``) computes the LCP via the sampled-PLCP
+    word ladder: only high-width rank levels are recorded (a handful of
+    rows instead of ~log2 N) and the walk runs over ~5-7N gathered elements
+    instead of ~26N.
+
     Returns (sa, lcp, overflow, may_overflow): ``overflow`` is a device
-    bool scalar — when True the input needed more than ``max_levels`` rank
-    levels and ``lcp`` is invalid (caller falls back to the host LCP).
-    ``may_overflow`` is a static bool: False guarantees overflow can never
-    fire (the buffer covers the worst case), so callers skip the readback
-    entirely."""
+    bool scalar — when True the input needed more rank levels than the
+    buffer holds and ``lcp`` is invalid (caller falls back to the host
+    LCP).  ``may_overflow`` is a static bool: False guarantees overflow can
+    never fire (the buffer covers the worst case), so callers skip the
+    readback entirely."""
     length = int(sym.shape[0])
     if length == 0:
         z = jnp.zeros(0, jnp.int32)
         return z, z, jnp.bool_(False), False
+    thr0 = int(length * _BUCKET_FRAC)
+    tiers = _tail_tiers(length, thr0)
+
+    if want_lcp and lcp_mode == "plcp":
+        from . import plcp as _plcp
+
+        needed = _plcp.levels_needed_high(length)
+        L = min(needed, 8)
+        if max_levels is not None:
+            L = min(L, max(max_levels, 1))
+        sa, levels, lev_idx, ovf = _sa_core(
+            sym, packed=packed, L=L, thr0=thr0, tiers=tiers,
+            level_min_k=_plcp.W0 // 2,
+        )
+        lcp, ovf2 = _plcp.plcp_lcp(sym, sa, levels, lev_idx)
+        return sa, lcp, ovf | ovf2, L < needed
+
     needed = levels_needed(length, packed)
     L = min(needed, max_levels) if max_levels is not None else needed
     if not want_lcp:
         L = 1  # levels unused; keep the buffer at one row
     L = max(L, 1)
-    thr0 = int(length * _BUCKET_FRAC)
-    tiers = _tail_tiers(length, thr0)
     sa, levels, lev_idx, ovf = _sa_core(
         sym, packed=packed, L=L, thr0=thr0, tiers=tiers
     )

@@ -39,11 +39,12 @@ class RangeMin:
     prefg: jax.Array  # int32[nf] min over fine mins [group_start..c]
     suffg: jax.Array  # int32[nf] min over fine mins [c..group_end]
     tg: jax.Array  # int32[Lg, ng] full sparse table over group mins
+    tsm: jax.Array  # int32[3, Np] element spans 1/2/4 (same-block queries)
 
     def tree_flatten(self):
         return (
             (self.values, self.pref8, self.suff8, self.t8, self.prefg,
-             self.suffg, self.tg),
+             self.suffg, self.tg, self.tsm),
             None,
         )
 
@@ -94,7 +95,15 @@ def build(values: jax.Array) -> RangeMin:
         span *= 2
     tg = jnp.stack(glevels)
 
-    return RangeMin(v, pref8, suff8, t8, prefg, suffg, tg)
+    # element-level spans 1/2/4: a same-fine-block query [lo..hi]
+    # (span <= 8) is min(tsm[k][lo], tsm[k][hi-2^k+1]) with
+    # k = min(ilog2(span), 2) — two gathers instead of an unrolled
+    # eight-way masked min (the replay's LCE calls this per iteration)
+    e2 = jnp.minimum(v, jnp.concatenate([v[1:], jnp.full(1, INF)]))
+    e4 = jnp.minimum(e2, jnp.concatenate([e2[2:], jnp.full(2, INF)]))
+    tsm = jnp.stack([v, e2, e4])
+
+    return RangeMin(v, pref8, suff8, t8, prefg, suffg, tg, tsm)
 
 
 def _ilog2(x):
@@ -113,13 +122,13 @@ def range_min(rm: RangeMin, lo, hi):
     f1 = los // FINE
     f2 = his // FINE
 
-    # same fine block: unrolled masked min over the 8 slots
-    base = f1 * FINE
-    same = INF
-    for k in range(FINE):
-        idx = base + k
-        ok = (idx >= los) & (idx <= his)
-        same = jnp.minimum(same, jnp.where(ok, rm.values[idx], INF))
+    # same fine block: two overlapping element-span windows
+    sspan = his - los + 1
+    ks = jnp.minimum(_ilog2(sspan), 2)
+    ws = (1 << ks).astype(jnp.int32)
+    same = jnp.minimum(
+        rm.tsm[ks, los], rm.tsm[ks, jnp.maximum(his - ws + 1, 0)]
+    )
 
     # straddling: edges + fine-block mid range [c1, c2]
     edge = jnp.minimum(rm.suff8[los], rm.pref8[his])

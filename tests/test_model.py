@@ -185,12 +185,18 @@ class TestDeviceBootstrap:
         out = device_bootstrap_rounds(pairs, 3, seed=1)
         assert (out[:, 2, :] == 0).all()
 
-    def test_float32_overflow_falls_back(self):
+    def test_huge_totals_stay_exact(self):
+        """Totals beyond float32-exact range must resample exactly (the
+        float32 fallback fork was a third replicate stream — VERDICT r2
+        weak #6; float64 carries integers exactly below 2**53)."""
         from andix.bootstrap import device_bootstrap_rounds
 
         c = np.zeros(16, dtype=np.int64)
-        c[mm.AtoA] = 1 << 25  # beyond float32-exact integers
-        assert device_bootstrap_rounds([make(c, 1 << 25)], 2, seed=0) is None
+        c[mm.AtoA] = (1 << 25) + 3
+        c[mm.TtoT] = (1 << 24) + 1
+        out = device_bootstrap_rounds([make(c, 1 << 25)], 2, seed=0)
+        assert out is not None
+        assert (out.sum(axis=2) == c.sum()).all()
 
     def test_distribution_sane(self):
         """Resampled cell means must track the source proportions (the
