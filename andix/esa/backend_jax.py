@@ -355,15 +355,13 @@ class JaxBackend:
         # texts from device_text satisfy it by construction, but verify the
         # bytes anyway (ANDIX_LCP=levels keeps the rank-level walk for A/B)
         lcp_mode = "levels"
-        if (
-            packed_ranks
-            and __import__("os").environ.get("ANDIX_LCP", "plcp") == "plcp"
-        ):
+        env_mode = __import__("os").environ.get("ANDIX_LCP", "hybrid")
+        if packed_ranks and env_mode in ("plcp", "hybrid"):
             present = np.nonzero(np.bincount(layout.u8, minlength=256))[0]
             from . import plcp as _plcp_mod
 
             if all(int(b) in _plcp_mod.ALPHABET_U8 for b in present):
-                lcp_mode = "plcp"
+                lcp_mode = env_mode
         host_lcp = not use_device_lcp
         sa_d = lcp_d = None
         if use_device_lcp and sa_mode != "host":

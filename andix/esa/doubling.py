@@ -98,10 +98,11 @@ def _initial_ranks(sym: jax.Array, length: int, packed: bool = False):
             return jnp.minimum(sh, PACK_CLAMP)
 
         key2 = (clamp_at(1) << 20) | (clamp_at(2) << 10) | clamp_at(3)
-        k1s, k2s, order = jax.lax.sort((s, key2, idx), num_keys=2)
-        changed = jnp.concatenate(
-            [jnp.ones(1, bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
-        )
+        # pack (symbol, 30-bit window) into one int64 key: symbols are
+        # bytes/separators/increasing pads, all < 2^21 + length
+        packed_key = (s.astype(jnp.int64) << 30) | key2.astype(jnp.int64)
+        kp, order = jax.lax.sort((packed_key, idx), num_keys=1)
+        changed = jnp.concatenate([jnp.ones(1, bool), kp[1:] != kp[:-1]])
     head_sorted, tied = _heads_and_tied(changed, length)
     rank = jnp.zeros(length, jnp.int32).at[order].set(head_sorted)
     return rank, tied, order
@@ -114,14 +115,20 @@ def _doubling_round(rank: jax.Array, k: jax.Array, length: int):
 
     The shifted read rank[i+k] is a contiguous dynamic_slice of a padded
     copy, not a gather — XLA lowers x[iota+k] to a full gather (~10x the
-    cost of a copy at genome scale, measured in MICROBENCH.json)."""
+    cost of a copy at genome scale, measured in MICROBENCH.json).
+
+    Both keys are bucket-head ranks < length, so for lengths below 2^31
+    they pack into ONE int64 sort key (rank*(length+1) + key2+1) — a
+    single-key+payload sort is measurably cheaper than two-key+payload on
+    TPU (MICROBENCH.json sort rows)."""
     idx = jnp.arange(length, dtype=jnp.int32)
     padded = jnp.concatenate([rank, jnp.full(length, jnp.int32(-1))])
     key2 = jax.lax.dynamic_slice(padded, (k,), (length,))
-    r1, r2, order = jax.lax.sort((rank, key2, idx), num_keys=2)
-    changed = jnp.concatenate(
-        [jnp.ones(1, bool), (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])]
+    packed = rank.astype(jnp.int64) * jnp.int64(length + 1) + (
+        key2.astype(jnp.int64) + 1
     )
+    kp, order = jax.lax.sort((packed, idx), num_keys=1)
+    changed = jnp.concatenate([jnp.ones(1, bool), kp[1:] != kp[:-1]])
     head_sorted, tied = _heads_and_tied(changed, length)
     new_rank = jnp.zeros(length, jnp.int32).at[order].set(head_sorted)
     return new_rank, tied, order
@@ -166,11 +173,14 @@ def _bucketed_round(
     key2 = jnp.where(
         real & (shifted < n), rank[shifted % n], jnp.int32(-1)
     )
-    h_s, k2_s, sav_s = jax.lax.sort((head, key2, sa_vals), num_keys=2)
-
-    changed = jnp.concatenate(
-        [jnp.ones(1, bool), (h_s[1:] != h_s[:-1]) | (k2_s[1:] != k2_s[:-1])]
+    # single int64 key (see _doubling_round); INT_MAX*(n+1) fits int64
+    packed = head.astype(jnp.int64) * jnp.int64(n + 1) + (
+        key2.astype(jnp.int64) + 1
     )
+    kp_s, sav_s = jax.lax.sort((packed, sa_vals), num_keys=1)
+    h_s = (kp_s // jnp.int64(n + 1)).astype(jnp.int32)
+
+    changed = jnp.concatenate([jnp.ones(1, bool), kp_s[1:] != kp_s[:-1]])
     # sorted entries land in the ascending tied slots; a subgroup's head is
     # the slot of its first element
     new_head = jax.lax.cummax(jnp.where(changed, slots, -1))
@@ -616,6 +626,23 @@ def sa_lcp_device(
         )
         lcp, ovf2 = _plcp.plcp_lcp(sym, sa, levels, lev_idx)
         return sa, lcp, ovf | ovf2, L < needed
+
+    if want_lcp and lcp_mode == "hybrid":
+        # full level stack (as in levels mode), but only the stride-16
+        # PLCP samples walk it; everything else fills from the Kasai
+        # bound with packed-word probes (andix.esa.plcp)
+        from . import plcp as _plcp
+
+        needed = levels_needed(length, packed)
+        L = max(1, min(needed, max_levels) if max_levels else needed)
+        sa, levels, lev_idx, ovf = _sa_core(
+            sym, packed=packed, L=L, thr0=thr0, tiers=tiers
+        )
+        lcp, ovf2 = _plcp.plcp_lcp_hybrid(
+            sym, sa, levels, lev_idx,
+            base_width=BASE_WIDTH if packed else 1,
+        )
+        return sa, lcp, ovf | ovf2, True
 
     needed = levels_needed(length, packed)
     L = min(needed, max_levels) if max_levels is not None else needed

@@ -107,7 +107,8 @@ def _tiers(t0: int, shrink: int = 4, floor: int = 8192):
     return out
 
 
-def _ladder(w16, levels, lev_cnt, n, idx, a, b, alive, out, tiers):
+def _ladder(w16, levels, lev_cnt, n, idx, a, b, alive, out, tiers,
+            h0=None, escape_w0=W0):
     """Lock-step word ladder with tier compaction + one walk escape.
 
     idx/a/b/alive are tier-0-sized; ``out`` (int32[len(out)]) receives
@@ -115,14 +116,14 @@ def _ladder(w16, levels, lev_cnt, n, idx, a, b, alive, out, tiers):
     unfinished > 0 means entries did not resolve (PASS_CAP hit or dropped
     at a compaction; both require the level buffer to have been truncated)."""
     out_len = out.shape[0]
-    h = jnp.zeros_like(a)
+    h = jnp.zeros_like(a) if h0 is None else h0
     p = jnp.zeros((), jnp.int32)
     lost = jnp.zeros((), jnp.int32)
 
     def walk(h, a, b, alive):
         L_hi = levels.shape[0]
         for r in range(L_hi - 1, -1, -1):
-            w = jnp.int32(min(W0 << r, 1 << 30))
+            w = jnp.int32(min(escape_w0 << r, 1 << 30))
 
             def step(h, r=r, w=w):
                 ia = jnp.minimum(a + h, n - 1)
@@ -215,8 +216,15 @@ def plcp_lcp(sym, sa, levels, lev_cnt):
         alive_s, S, _tiers(ns),
     )
     S = S[:ns]
+    return _fill_from_samples(
+        w16, levels, lev_cnt, n, iota, sa, phi, S, left_s, W0
+    )
 
-    # --- fill: every position from its Kasai lower bound ---
+
+def _fill_from_samples(w16, levels, lev_cnt, n, iota, sa, phi, S, left_s,
+                       escape_w0):
+    """Kasai-bound fill of every position given the stride-16 sampled
+    PLCP, then lcp[t] = PLCP[SA[t]]."""
     lo = jnp.maximum(S[iota >> 4] - (iota & 15), 0)
     plcp0 = jnp.zeros(n + 1, jnp.int32)
     alive_f = phi >= 0
@@ -226,10 +234,71 @@ def plcp_lcp(sym, sa, levels, lev_cnt):
     plcp_rel, left_f = _ladder(
         w16, levels, lev_cnt, n,
         iota, jnp.minimum(a_f + lo, n - 1), jnp.minimum(iota + lo, n - 1),
-        alive_f, plcp0, _tiers(n, shrink=4),
+        alive_f, plcp0, _tiers(n, shrink=4), escape_w0=escape_w0,
     )
     plcp = jnp.where(alive_f, plcp_rel[:n] + lo, 0)
 
     lcp = plcp[sa].at[0].set(0)
     ovf = (left_s + left_f) > 0
     return lcp, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("base_width",))
+def plcp_lcp_hybrid(sym, sa, levels, lev_cnt, base_width: int = 4):
+    """Adjacent LCP from the FULL rank-level stack (levels-mode SA
+    collection): the stride-16 PLCP samples come from a classical top-down
+    level walk — 2 gathers x levels over N/16 entries, ~16x less gather
+    volume than walking every position (the dominant cost of the old
+    all-positions walk) — and every position then fills from the Kasai
+    bound PLCP[i] >= PLCP[i-1]-1 with ~1-2 packed-word probes.
+
+    The sample walk leaves each entry with remainder < base_width; the
+    short word ladder that follows (seeded at the walk's h) finishes it
+    exactly.  The fill's rare deep-slack entries escape through the same
+    level stack (escape_w0 = base_width)."""
+    n = sym.shape[0]
+    assert n % 16 == 0, "bucket() sizes are divisible by 16"
+    iota = jnp.arange(n, dtype=jnp.int32)
+    w16 = _build_w16(sym)
+
+    isa = jnp.zeros(n, jnp.int32).at[sa].set(iota)
+    phi = jnp.where(
+        isa > 0, sa[jnp.maximum(isa - 1, 0)], jnp.int32(-1)
+    )
+
+    ns = n // 16
+    i_s = jnp.arange(ns, dtype=jnp.int32) * 16
+    a_s = jnp.maximum(phi[::16], 0)
+    alive_s = phi[::16] >= 0
+
+    # top-down level walk on the samples (widths base_width << r)
+    L = levels.shape[0]
+    h = jnp.zeros(ns, jnp.int32)
+    for r in range(L - 1, -1, -1):
+        w = jnp.int32(min(base_width << r, 1 << 30))
+
+        def step(h, r=r, w=w):
+            ia = jnp.minimum(a_s + h, n - 1)
+            ib = jnp.minimum(i_s + h, n - 1)
+            ok = (
+                alive_s
+                & (a_s + h < n)
+                & (i_s + h < n)
+                & (levels[r][ia] == levels[r][ib])
+            )
+            return jnp.where(ok, h + w, h)
+
+        h = jax.lax.cond(r < lev_cnt, step, lambda x: x, h)
+
+    # remainder (< base_width): one word probe each via the ladder,
+    # seeded at the walk's h
+    S = jnp.zeros(ns + 1, jnp.int32)
+    S, left_s = _ladder(
+        w16, levels, lev_cnt, n,
+        jnp.arange(ns, dtype=jnp.int32), a_s, i_s, alive_s, S,
+        _tiers(ns), h0=h, escape_w0=base_width,
+    )
+    S = S[:ns]
+    return _fill_from_samples(
+        w16, levels, lev_cnt, n, iota, sa, phi, S, left_s, base_width
+    )

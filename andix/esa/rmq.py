@@ -111,8 +111,14 @@ def _ilog2(x):
 
 
 def range_min(rm: RangeMin, lo, hi):
-    """min(values[lo..hi]) inclusive; INF when lo > hi.  Branch-free,
-    vectorized over any batch shape of (lo, hi)."""
+    """min(values[lo..hi]) inclusive; INF when lo > hi.  Vectorized over
+    any batch shape of (lo, hi).
+
+    The replay's LCE calls this inside a while_loop where each gather costs
+    a few microseconds of latency and gathers do not overlap — so the two
+    sub-paths a batch usually does not need (same-fine-block queries, and
+    group spans beyond 64 fine blocks) are gated behind scalar ``lax.cond``
+    and skipped entirely when no element takes them."""
     lo = jnp.asarray(lo, jnp.int32)
     hi = jnp.asarray(hi, jnp.int32)
     empty = lo > hi
@@ -121,13 +127,21 @@ def range_min(rm: RangeMin, lo, hi):
 
     f1 = los // FINE
     f2 = his // FINE
+    is_same = f1 == f2
 
     # same fine block: two overlapping element-span windows
-    sspan = his - los + 1
-    ks = jnp.minimum(_ilog2(sspan), 2)
-    ws = (1 << ks).astype(jnp.int32)
-    same = jnp.minimum(
-        rm.tsm[ks, los], rm.tsm[ks, jnp.maximum(his - ws + 1, 0)]
+    def same_path():
+        sspan = his - los + 1
+        ks = jnp.minimum(_ilog2(sspan), 2)
+        ws = (1 << ks).astype(jnp.int32)
+        return jnp.minimum(
+            rm.tsm[ks, los], rm.tsm[ks, jnp.maximum(his - ws + 1, 0)]
+        )
+
+    same = jax.lax.cond(
+        jnp.any(is_same & ~empty),
+        same_path,
+        lambda: jnp.broadcast_to(INF, los.shape),
     )
 
     # straddling: edges + fine-block mid range [c1, c2]
@@ -145,22 +159,29 @@ def range_min(rm: RangeMin, lo, hi):
     mid_small = jnp.minimum(rm.t8[k8, c1s], rm.t8[k8, c2s - w8 + 1])
 
     # span > 64: group decomposition
-    g1 = c1s // GROUP
-    g2 = c2s // GROUP
-    gedge = jnp.minimum(rm.suffg[c1s], rm.prefg[c2s])
-    h1 = g1 + 1
-    h2 = g2 - 1
-    has_gm = h2 >= h1
-    h1s = jnp.where(has_gm, h1, 0)
-    h2s = jnp.where(has_gm, h2, 0)
-    gspan = h2s - h1s + 1
-    kg = jnp.minimum(_ilog2(gspan), jnp.int32(rm.tg.shape[0] - 1))
-    wg = (1 << kg).astype(jnp.int32)
-    gmid = jnp.minimum(rm.tg[kg, h1s], rm.tg[kg, h2s - wg + 1])
-    mid_big = jnp.minimum(gedge, jnp.where(has_gm, gmid, INF))
+    big = has_mid & (span > 64)
+
+    def big_path():
+        g1 = c1s // GROUP
+        g2 = c2s // GROUP
+        gedge = jnp.minimum(rm.suffg[c1s], rm.prefg[c2s])
+        h1 = g1 + 1
+        h2 = g2 - 1
+        has_gm = h2 >= h1
+        h1s = jnp.where(has_gm, h1, 0)
+        h2s = jnp.where(has_gm, h2, 0)
+        gspan = h2s - h1s + 1
+        kg = jnp.minimum(_ilog2(gspan), jnp.int32(rm.tg.shape[0] - 1))
+        wg = (1 << kg).astype(jnp.int32)
+        gmid = jnp.minimum(rm.tg[kg, h1s], rm.tg[kg, h2s - wg + 1])
+        return jnp.minimum(gedge, jnp.where(has_gm, gmid, INF))
+
+    mid_big = jax.lax.cond(
+        jnp.any(big), big_path, lambda: jnp.broadcast_to(INF, los.shape)
+    )
 
     mid = jnp.where(span <= 64, mid_small, mid_big)
     mid = jnp.where(has_mid, mid, INF)
 
-    out = jnp.where(f1 == f2, same, jnp.minimum(edge, mid))
+    out = jnp.where(is_same, same, jnp.minimum(edge, mid))
     return jnp.where(empty, INF, out)

@@ -165,18 +165,22 @@ class TestDeviceLCP:
         for rs in families:
             layout = joint.build_block(rs, {})
             sym_d = device_text(layout, bucket(layout.n))
-            sa1, lcp1, ovf1, _ = doubling.sa_lcp_device(
-                sym_d, packed=True, lcp_mode="plcp"
-            )
             sa2, lcp2, ovf2, _ = doubling.sa_lcp_device(
                 sym_d, packed=True, lcp_mode="levels"
             )
-            assert not bool(np.asarray(ovf1))
-            assert (np.asarray(sa1) == np.asarray(sa2)).all()
-            # padding slots may differ (the level walk leaves unconsumed
-            # garbage there, see _lcp_from_level_buffer); real region exact
-            n = layout.n
-            assert (np.asarray(lcp1)[:n] == np.asarray(lcp2)[:n]).all()
+            for mode in ("plcp", "hybrid"):
+                sa1, lcp1, ovf1, _ = doubling.sa_lcp_device(
+                    sym_d, packed=True, lcp_mode=mode
+                )
+                assert not bool(np.asarray(ovf1)), mode
+                assert (np.asarray(sa1) == np.asarray(sa2)).all(), mode
+                # padding slots may differ (the level walk leaves
+                # unconsumed garbage there, see _lcp_from_level_buffer);
+                # real region exact
+                n = layout.n
+                assert (
+                    np.asarray(lcp1)[:n] == np.asarray(lcp2)[:n]
+                ).all(), mode
 
     def test_level_budget_overflow_falls_back_to_host(
         self, rng, dna, monkeypatch
