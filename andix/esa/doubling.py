@@ -569,13 +569,24 @@ def _sa_lcp_core(
     thr0: int,
     tiers: tuple[int, ...],
     want_lcp: bool,
+    lcp_mode: str = "levels",
 ):
     """Traced composition (used inside shard_map, where everything must
     live in one program anyway).  Returns (sa, lcp, overflow); lcp is
     all-zero when want_lcp=False and must be ignored when overflow is
-    True."""
+    True.  ``lcp_mode="hybrid"`` uses the sampled-PLCP fill (same as the
+    single-chip default; requires the packed block-text alphabet)."""
     base = BASE_WIDTH if packed else 1
     sa, levels, lev_idx, ovf = _sa_loop_traced(sym, packed, L, thr0, tiers)
+    if want_lcp and lcp_mode == "hybrid":
+        from . import plcp as _plcp
+
+        # traced variant: a nested jit inside shard_map trips XLA's
+        # sharding-inference assert on the [L, N] level buffer
+        lcp, ovf2 = _plcp.plcp_lcp_hybrid_traced(
+            sym, sa, levels, lev_idx, base_width=base
+        )
+        return sa, lcp, ovf | ovf2
     if want_lcp:
         lcp = _lcp_from_level_buffer(
             sa, levels, lev_idx, sym, base, packed=packed

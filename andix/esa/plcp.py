@@ -245,6 +245,10 @@ def _fill_from_samples(w16, levels, lev_cnt, n, iota, sa, phi, S, left_s,
 
 @functools.partial(jax.jit, static_argnames=("base_width",))
 def plcp_lcp_hybrid(sym, sa, levels, lev_cnt, base_width: int = 4):
+    return plcp_lcp_hybrid_traced(sym, sa, levels, lev_cnt, base_width)
+
+
+def plcp_lcp_hybrid_traced(sym, sa, levels, lev_cnt, base_width: int = 4):
     """Adjacent LCP from the FULL rank-level stack (levels-mode SA
     collection): the stride-16 PLCP samples come from a classical top-down
     level walk — 2 gathers x levels over N/16 entries, ~16x less gather

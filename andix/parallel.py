@@ -122,8 +122,12 @@ def _sharded_counts_fn(
         sym = _build_device_text_packed(
             packed[0], exc_pos[0], exc_val[0], n_real[0, 0]
         )
+        # rank-level walk LCP: the hybrid sampled-PLCP body trips an XLA
+        # sharding-propagation assert under shard_map (strided slices on
+        # per-device shards); the walk is ~1s slower per block at 16M
+        # symbols but identical in output
         sa, lcp, _ = doubling._sa_lcp_core(
-            sym, packed=True, L=L, thr0=thr0, tiers=tiers, want_lcp=True
+            sym, packed=True, L=L, thr0=thr0, tiers=tiers, want_lcp=True,
         )
         segid = _device_segid(sa, seg_bounds[0])
         isa = matchstats_jax.inverse_sa_device(sa)
