@@ -585,7 +585,11 @@ class JaxBackend:
             __import__("os").environ.get("ANDIX_JUMP_PASSES", "0")
         )
         jump_passes = min(jump_passes, max(1, (qb - 1).bit_length()))
-        ecap = max(1 << 16, qb // 2)
+        ecap = int(
+            __import__("os").environ.get(
+                "ANDIX_EVENT_CAP", str(max(1 << 16, qb // 2))
+            )
+        )
         unroll = int(
             __import__("os").environ.get("ANDIX_PROBE_UNROLL", "4")
         )

@@ -95,6 +95,18 @@ class TestDeviceReplay:
         n = len(seqs)
         assert (grid_counts(ev, n) == grid_counts(lp, n)).all()
 
+    def test_event_overflow_falls_back_to_loop(self, rng, dna, mutator,
+                                               monkeypatch):
+        # a too-small event buffer must flag overflow and reroute to the
+        # count-in-loop path with identical output
+        base = dna(rng, 600)
+        seqs = [Seq(base, "g0"), Seq(mutator(rng, base, 0.01), "g1")]
+        ctx = Context()
+        want = pipeline.calculate_matrix(seqs, ctx, pipeline.NumpyBackend())
+        monkeypatch.setenv("ANDIX_EVENT_CAP", "4")  # ~every lane overflows
+        got = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        assert (grid_counts(got, 2) == grid_counts(want, 2)).all()
+
     def test_events_python_fallback_matches_native(self, rng, dna, mutator):
         # group_counts_from_events: python path == native C++ path
         from andix import native
