@@ -641,11 +641,16 @@ def sa_lcp_device(
     if want_lcp and lcp_mode == "hybrid":
         # full level stack (as in levels mode), but only the stride-16
         # PLCP samples walk it; everything else fills from the Kasai
-        # bound with packed-word probes (andix.esa.plcp)
+        # bound with packed-word probes (andix.esa.plcp).  The stack is
+        # capped at 14 rows (adjacent LCPs < 4 * 2^13 = 32 kb — beyond any
+        # non-clonal repeat) so the buffer plus the fill's own N-sized
+        # buffers stay within HBM at 100M-symbol blocks; deeper inputs
+        # overflow to the host Φ-LCP like every other mode
         from . import plcp as _plcp
 
         needed = levels_needed(length, packed)
         L = max(1, min(needed, max_levels) if max_levels else needed)
+        L = min(L, 14)
         sa, levels, lev_idx, ovf = _sa_core(
             sym, packed=packed, L=L, thr0=thr0, tiers=tiers
         )

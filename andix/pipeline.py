@@ -109,19 +109,31 @@ def device_plan(
 ) -> tuple[int, int]:
     """Memory-aware (block_syms, max_query_syms) for device blocks.
 
-    A resident block costs ≈ 22 int32 arrays per padded symbol (text, SA,
-    ISA, LCP, segid, RMQ, sort workspace, ~12 rank levels for the LCP
-    walk), so blocks are capped at DEVICE_MEM_BYTES / 88.  When the query
-    total no longer fits alongside a subject, queries are chunked at half
-    the cap — at eco29 scale (29 × 4.9 Mbp) this yields multi-subject
-    blocks + query chunks instead of one-subject blocks spilling onto the
-    host-LCP path.  ANDIX_DEVICE_MEM_GB tunes the budget,
+    The peak resident cost is the SA-loop program: ~14 capped rank-level
+    rows + loop state + int64 sort operands ≈ 120 bytes per PADDED symbol
+    (the chain/tables program peaks lower), so blocks are capped at the
+    largest shape BUCKET whose padded footprint fits DEVICE_MEM_BYTES —
+    the real-symbol count is budgeted against bucket(n), not n (a 80M-real
+    block pads to 100.7M; budgeting the real size OOMed at eco29 n=8).
+    When the query total no longer fits alongside a subject, queries are
+    chunked at half the cap.  ANDIX_DEVICE_MEM_GB tunes the budget,
     ANDIX_MAX_QUERY_SYMS overrides the chunk bound."""
-    from .esa.backend_jax import DEVICE_MEM_BYTES
+    from .esa.backend_jax import DEVICE_MEM_BYTES, bucket
 
+    bytes_per_padded = 120
     largest = max(s.len + 1 for s in subjects)
     query_total = sum((s.len - 1) // 2 + 1 for s in subjects)
-    cap = DEVICE_MEM_BYTES // 88
+    budget_syms = DEVICE_MEM_BYTES // bytes_per_padded
+    # largest bucket value that fits the budget: real blocks up to that
+    # size pad to at most that bucket
+    cap = b = 1 << 16
+    while True:
+        for cand in (b + b // 2, b * 2):
+            if cand <= budget_syms:
+                cap = cand
+        b *= 2
+        if b > budget_syms:
+            break
     if cap < largest + (1 << 16):
         # a single subject already busts the budget: let it through; the
         # backend's level-budget check reroutes the block to the host LCP
