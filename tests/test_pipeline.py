@@ -121,6 +121,20 @@ class TestDevicePlan:
         for b in blocks:
             assert mq + sum(subs[i].len + 1 for i in b) <= bs
 
+    def test_padded_bucket_fits_budget(self):
+        """The 8 x 5 Mbp config (80M real symbols -> 100.7M bucket) OOMed
+        when the plan budgeted real symbols: every planned block's PADDED
+        bucket must fit the ~120 B/padded-symbol SA-loop peak."""
+        from andix.esa.backend_jax import DEVICE_MEM_BYTES, bucket
+
+        subs = self._subs(8, 5_000_000)
+        bs, mq = pipeline.device_plan(1 << 40, subs)
+        q_base = min(mq, sum((s.len - 1) // 2 + 1 for s in subs))
+        blocks = pipeline.make_blocks(subs, bs, False, query_base=q_base)
+        for b in blocks:
+            real = q_base + sum(subs[i].len + 1 for i in b)
+            assert bucket(real) * 120 <= DEVICE_MEM_BYTES
+
     def test_small_runs_not_chunked(self):
         subs = self._subs(8, 1_000_000)
         bs, mq = pipeline.device_plan(1 << 27, subs)
