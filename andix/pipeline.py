@@ -104,23 +104,29 @@ def make_blocks(
     return blocks
 
 
+BYTES_PER_PADDED_SYM = 160  # see device_plan docstring
+
+
 def device_plan(
     block_syms: int, subjects: list[Subject]
 ) -> tuple[int, int]:
     """Memory-aware (block_syms, max_query_syms) for device blocks.
 
-    The peak resident cost is the SA-loop program: ~14 capped rank-level
-    rows + loop state + int64 sort operands ≈ 120 bytes per PADDED symbol
-    (the chain/tables program peaks lower), so blocks are capped at the
-    largest shape BUCKET whose padded footprint fits DEVICE_MEM_BYTES —
-    the real-symbol count is budgeted against bucket(n), not n (a 80M-real
-    block pads to 100.7M; budgeting the real size OOMed at eco29 n=8).
+    The peak resident footprint is the hybrid SA+LCP pair of programs:
+    ~14 capped rank-level rows + loop state + int64 sort operands, then
+    the PLCP fill buffers + packed words while the level stack is still
+    live, plus the resident block arrays and the range-min tables ≈ 160
+    bytes per PADDED symbol.  Blocks are capped at the largest shape
+    BUCKET whose padded footprint fits DEVICE_MEM_BYTES — the real-symbol
+    count is budgeted against bucket(n), not n (an 80M-real block pads to
+    100.7M; budgeting real symbols at a thinner estimate OOMed 16GB HBM
+    at eco29 n=8).
     When the query total no longer fits alongside a subject, queries are
     chunked at half the cap.  ANDIX_DEVICE_MEM_GB tunes the budget,
     ANDIX_MAX_QUERY_SYMS overrides the chunk bound."""
     from .esa.backend_jax import DEVICE_MEM_BYTES, bucket
 
-    bytes_per_padded = 120
+    bytes_per_padded = BYTES_PER_PADDED_SYM
     largest = max(s.len + 1 for s in subjects)
     query_total = sum((s.len - 1) // 2 + 1 for s in subjects)
     budget_syms = DEVICE_MEM_BYTES // bytes_per_padded

@@ -133,7 +133,10 @@ class TestDevicePlan:
         blocks = pipeline.make_blocks(subs, bs, False, query_base=q_base)
         for b in blocks:
             real = q_base + sum(subs[i].len + 1 for i in b)
-            assert bucket(real) * 120 <= DEVICE_MEM_BYTES
+            assert (
+                bucket(real) * pipeline.BYTES_PER_PADDED_SYM
+                <= DEVICE_MEM_BYTES
+            )
 
     def test_small_runs_not_chunked(self):
         subs = self._subs(8, 1_000_000)
