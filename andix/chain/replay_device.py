@@ -1,4 +1,4 @@
-"""On-device anchor-chain replay (JAX, one lock-step loop for all lanes).
+"""On-device anchor-chain walk (JAX, one lock-step loop for all lanes).
 
 The reference's per-pair scan (``dist_anchor``, src/process.c:141-214) is
 sequential in the visited positions, but each visit is O(1) given:
@@ -11,24 +11,26 @@ sequential in the visited positions, but each visit is O(1) given:
 
 All (subject, query) lanes of a subject group advance in ONE
 ``lax.while_loop`` over [Sg, G]-shaped state — not a vmapped per-lane loop:
-with explicit batching the two expensive phases can be skipped by *scalar*
+with explicit batching the expensive phases can be skipped by *scalar*
 ``lax.cond`` when no lane needs them (vmap would turn the conds into
-selects that execute both branches):
+selects that execute both branches).  Anchor-free stretches (diverged
+pairs, where the scan is pure ``pos += len + 1`` skipping) cross many
+chain steps per iteration via the jump table + an in-loop chase of tiny
+[Sg, G] gathers.
 
-* the substitution/equal counting chunks (2 × COUNT_CHUNK text gathers per
-  lane) run only while some lane has a pending interval,
-* the RMQ-backed lucky-anchor extension runs only while some lane's gap to
-  its last anchor is within the threshold.
+PRODUCTION path — ``chain_anchors_device``: the loop only walks the chain
+(several unrolled probe steps per iteration) and records every accepted
+anchor as (lane, pos_q, pos_s, len); the 16-cell counting is a pure
+function of that event sequence plus the text (src/process.c:160-211) and
+runs on host (``chain.events`` / native C++) — per-site device work never
+enters the loop (it measured ~870 us/iteration, MICROBENCH_REPLAY.json).
 
-Anchor-free stretches (diverged pairs, where the scan is pure
-``pos += len + 1`` skipping) cross many chain steps per iteration: the
-pointer-doubled jump table resolves 2^jump_passes steps per probe, and an
-unrolled in-loop chase follows it several more hops — tiny [Sg, G] gathers
-instead of more full-size table passes.
-
-Only the 16 substitution counts per pair ever leave the device.  This is
-the production replay for the JAX backend; the native C++ replay
-(``andix.native``) remains as host fallback and cross-check oracle.
+FALLBACK / A-B path — ``replay_rows_device``: the original count-in-loop
+replay (gap/equal chunks processed on device); used when the event buffer
+overflows, for ANDIX_REPLAY=loop A/Bs, and by the shard_map multi-chip
+step (events-fetch plumbing across processes is not wired there yet).
+The native C++ replay (``andix.native``) remains as host fallback and
+cross-check oracle.
 """
 
 from __future__ import annotations
