@@ -111,6 +111,22 @@ def prepare_subject_tables(
 
 
 @functools.partial(jax.jit, static_argnames=("jump_passes",))
+def single_subject_tables(
+    sa, lcp, segid, tq, subj_seg, subj_start, threshold, jump_passes: int
+):
+    """One subject's matchstats + replay tables as its own program: the
+    8-wide vmapped build holds [Sg, N] scan intermediates — 18+ GB at
+    67M-symbol eco29 blocks — so big blocks build tables subject by
+    subject (peak [1, N]) and stack the [QB] rows."""
+    from ..esa import matchstats_jax
+
+    ml, un, ps = matchstats_jax.match_stats_device(
+        sa, lcp, segid, subj_seg, subj_start
+    )
+    return prepare_subject_tables(ml, un, ps, tq, threshold, jump_passes)
+
+
+@functools.partial(jax.jit, static_argnames=("jump_passes",))
 def group_subject_tables(
     sa: jax.Array,  # int32[Np]
     lcp: jax.Array,  # int32[Np]

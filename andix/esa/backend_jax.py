@@ -595,16 +595,54 @@ class JaxBackend:
         )
 
         t0 = time.time()
-        ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters = (
-            subject_group_anchors_device(
-                ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
-                ctx.isa_d, ctx.rm,
-                jnp.asarray(segs), jnp.asarray(starts),
-                jnp.asarray(rs_lens), jnp.asarray(thresholds),
-                ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
-                jump_passes, ecap, unroll,
+        padded_n = ctx.sa_d.shape[0]
+        split_min = int(
+            __import__("os").environ.get(
+                "ANDIX_SPLIT_TABLES_MIN", str(1 << 25)
             )
         )
+        if padded_n >= split_min:
+            # big blocks: the fused tables+walk program's [Sg, N] scan
+            # intermediates exceed HBM (measured 18.4G at a 67M-symbol
+            # eco29 block) — build each subject's tables as its own
+            # program and run the chain walk separately
+            from ..chain.replay_device import (
+                chain_anchors_device, single_subject_tables,
+            )
+
+            rows = [
+                single_subject_tables(
+                    ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+                    jnp.int32(segs[k]), jnp.int32(starts[k]),
+                    jnp.int32(thresholds[k]), jump_passes,
+                )
+                for k in range(sg)
+            ]
+            mlun = jnp.stack([r[0] for r in rows])
+            ps = jnp.stack([r[1] for r in rows])
+            jump = jnp.stack([r[2] for r in rows])
+            del rows
+            ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters = (
+                chain_anchors_device(
+                    ctx.isa_d, ctx.rm, mlun, ps, jump,
+                    jnp.asarray(starts), jnp.asarray(rs_lens),
+                    jnp.asarray(thresholds),
+                    ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
+                    ecap, unroll=unroll,
+                )
+            )
+            del mlun, ps, jump
+        else:
+            ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters = (
+                subject_group_anchors_device(
+                    ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+                    ctx.isa_d, ctx.rm,
+                    jnp.asarray(segs), jnp.asarray(starts),
+                    jnp.asarray(rs_lens), jnp.asarray(thresholds),
+                    ctx.q_base_d, ctx.q_start_d, jnp.asarray(q_len2d),
+                    jump_passes, ecap, unroll,
+                )
+            )
         cnt, ovf_h, it_h = (
             int(v) for v in np.asarray(
                 jax.device_get(jnp.stack([ev_cnt, ovf.astype(jnp.int32),

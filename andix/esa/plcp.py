@@ -224,22 +224,38 @@ def plcp_lcp(sym, sa, levels, lev_cnt):
 def _fill_from_samples(w16, levels, lev_cnt, n, iota, sa, phi, S, left_s,
                        escape_w0):
     """Kasai-bound fill of every position given the stride-16 sampled
-    PLCP, then lcp[t] = PLCP[SA[t]]."""
+    PLCP, then lcp[t] = PLCP[SA[t]].
+
+    Pass 1 runs as pure vector ops over all N positions (most finish with
+    slack < 16 — the bound is exact inside every PLCP sawtooth run); only
+    the survivors (positions just past a run boundary) enter the tiered
+    ladder, so no full-size scatter or compaction scan ever runs."""
     lo = jnp.maximum(S[iota >> 4] - (iota & 15), 0)
-    plcp0 = jnp.zeros(n + 1, jnp.int32)
     alive_f = phi >= 0
-    a_f = jnp.maximum(phi, 0)
-    # seed h at lo by folding it into the entry state: reuse _ladder with
-    # (a + lo, b + lo) and add lo back at the end — h starts at 0 there
+    a_f = jnp.minimum(jnp.maximum(phi, 0) + lo, n - 1)
+    b_f = jnp.minimum(iota + lo, n - 1)
+    m1 = _word_m(w16[a_f], w16[b_f])
+    survivor = alive_f & (m1 == 16)
+
+    t1 = max(n // 2, 8192)
+    pos = jnp.cumsum(survivor.astype(jnp.int32)) - survivor
+    tgt = jnp.where(survivor, jnp.minimum(pos, t1), t1)
+    lost = jnp.maximum(jnp.sum(survivor.astype(jnp.int32)) - t1, 0)
+
+    def put(x, fill):
+        return jnp.full(t1, fill, x.dtype).at[tgt].set(x, mode="drop")
+
+    plcp0 = jnp.zeros(n + 1, jnp.int32)
     plcp_rel, left_f = _ladder(
         w16, levels, lev_cnt, n,
-        iota, jnp.minimum(a_f + lo, n - 1), jnp.minimum(iota + lo, n - 1),
-        alive_f, plcp0, _tiers(n, shrink=4), escape_w0=escape_w0,
+        put(iota, n), put(a_f, 0), put(b_f, 0),
+        put(survivor, False), plcp0, _tiers(t1, shrink=4),
+        h0=jnp.full(t1, 16, jnp.int32), escape_w0=escape_w0,
     )
-    plcp = jnp.where(alive_f, plcp_rel[:n] + lo, 0)
+    plcp = jnp.where(alive_f, jnp.where(survivor, plcp_rel[:n], m1) + lo, 0)
 
     lcp = plcp[sa].at[0].set(0)
-    ovf = (left_s + left_f) > 0
+    ovf = (left_s + left_f + lost) > 0
     return lcp, ovf
 
 

@@ -95,6 +95,21 @@ class TestDeviceReplay:
         n = len(seqs)
         assert (grid_counts(ev, n) == grid_counts(lp, n)).all()
 
+    def test_split_tables_path_equals_fused(self, rng, dna, mutator,
+                                            monkeypatch):
+        # per-subject table builds + separate chain walk (the big-block
+        # HBM-safe path) must equal the fused dispatch exactly
+        base = dna(rng, 700)
+        seqs = [Seq(base, "g0")] + [
+            Seq(mutator(rng, base, r), f"g{k+1}")
+            for k, r in enumerate([0.01, 0.08])
+        ]
+        ctx = Context()
+        fused = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        monkeypatch.setenv("ANDIX_SPLIT_TABLES_MIN", "1")
+        split = pipeline.calculate_matrix(seqs, ctx, JaxBackend())
+        assert (grid_counts(fused, 3) == grid_counts(split, 3)).all()
+
     def test_event_overflow_falls_back_to_loop(self, rng, dna, mutator,
                                                monkeypatch):
         # a too-small event buffer must flag overflow and reroute to the
