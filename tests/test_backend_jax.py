@@ -182,6 +182,31 @@ class TestDeviceLCP:
                     np.asarray(lcp1)[:n] == np.asarray(lcp2)[:n]
                 ).all(), mode
 
+    def test_hybrid_fuzz_vs_oracle(self, dna, mutator):
+        """Many-seed oracle fuzz of the default (hybrid) SA+LCP dispatch:
+        random families across divergence regimes, exact SA and LCP."""
+        from andix.esa import doubling, sa_numpy
+        from andix.esa.backend_jax import bucket, device_text, pad_symbols
+
+        for seed in range(10):
+            rng = np.random.default_rng(5000 + seed)
+            base = dna(rng, 600 + 97 * seed)
+            rs = {
+                0: catcomp(base),
+                1: catcomp(mutator(rng, base, [0, 0.004, 0.05, 0.3][seed % 4])),
+            }
+            layout = joint.build_block(rs, {})
+            sym_d = device_text(layout, bucket(layout.n))
+            sa, lcp, ovf, _ = doubling.sa_lcp_device(
+                sym_d, packed=True, lcp_mode="hybrid"
+            )
+            padded = pad_symbols(layout.sym, bucket(layout.n))
+            sa_ref = sa_numpy.suffix_array(padded)
+            lcp_ref = sa_numpy.lcp_array(padded, sa_ref)
+            assert not bool(np.asarray(ovf)), seed
+            assert (np.asarray(sa) == sa_ref).all(), seed
+            assert (np.asarray(lcp) == lcp_ref).all(), seed
+
     def test_level_budget_overflow_falls_back_to_host(
         self, rng, dna, monkeypatch
     ):
