@@ -543,13 +543,28 @@ class JaxBackend:
             ctx, subject_genomes, subjects, model_kind
         )
 
+    def replay_group(self, n_block_subjects: int, qb: int) -> int:
+        """Subjects per chain-walk dispatch.  The walk's sequential depth
+        is ~independent of the lane count (every [Sg, G] op is
+        latency-bound), so FEWER, WIDER dispatches are strictly better —
+        bounded by the [Sg, QB] x3 int32 stats tables fitting HBM
+        alongside the block residents.  Balanced across dispatches so one
+        program shape serves them all (ANDIX_REPLAY_GROUP overrides)."""
+        env = __import__("os").environ.get("ANDIX_REPLAY_GROUP")
+        if env:
+            return int(env)
+        budget = int(DEVICE_MEM_BYTES * 0.75)
+        fit = max(1, budget // (12 * max(qb, 1)))
+        if fit >= n_block_subjects:
+            return max(1, n_block_subjects)
+        k = -(-n_block_subjects // fit)
+        return -(-n_block_subjects // k)
+
     def _group_tables(self, ctx, subject_genomes, subjects):
-        """Shared [Sg]-padded subject tables for the grouped dispatches."""
+        """Shared [Sg]-padded subject tables for the grouped dispatches;
+        rows pad to a multiple of 8 so dispatch shapes stay bucketed."""
         layout = ctx.layout
-        group = int(
-            __import__("os").environ.get("ANDIX_REPLAY_GROUP", "8")
-        )
-        sg = max(group, len(subject_genomes))
+        sg = -(-max(len(subject_genomes), 1) // 8) * 8
         gp = ctx.q_start_d.shape[0]
         segs = np.full(sg, -1, dtype=np.int32)
         starts = np.zeros(sg, dtype=np.int32)

@@ -347,7 +347,12 @@ def _process_block(
             wanted |= set(block)
 
         if getattr(backend, "device_replay", False):
-            group = int(os.environ.get("ANDIX_REPLAY_GROUP", "8"))
+            if hasattr(backend, "replay_group"):
+                group = backend.replay_group(
+                    len(block), bctx.tq_d.shape[0]
+                )
+            else:
+                group = int(os.environ.get("ANDIX_REPLAY_GROUP", "8"))
             for gs in range(0, len(block), group):
                 gset = block[gs : gs + group]
                 rows = backend.subject_group_counts(
