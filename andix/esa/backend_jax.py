@@ -163,6 +163,13 @@ def _build_device_text_packed(
     return jnp.where(iota >= n_real, pad_base + iota, sym)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _acc_row(buf, row, k):
+    """In-place row write (buffer donated): big-block stats tables build
+    one subject at a time without a stack's transient 2x copy."""
+    return jax.lax.dynamic_update_index_in_dim(buf, row, jnp.int32(k), 0)
+
+
 @functools.partial(jax.jit, static_argnames=("qb",))
 def _block_tables(sa, lcp, seg_bounds, q_start, q_off_pad, qb):
     """Fused per-block table build (segid + ISA + query SA slots + RMQ):
@@ -625,18 +632,23 @@ class JaxBackend:
                 chain_anchors_device, single_subject_tables,
             )
 
-            rows = [
-                single_subject_tables(
+            # accumulate rows into DONATED buffers — a jnp.stack of all
+            # rows holds sources + copy simultaneously (2x the tables,
+            # OOMed at n=22)
+            qb_len = ctx.tq_d.shape[0]
+            mlun = jnp.zeros((sg, qb_len), jnp.int32)
+            ps = jnp.zeros((sg, qb_len), jnp.int32)
+            jump = jnp.zeros((sg, qb_len), jnp.int32)
+            for k in range(sg):
+                r = single_subject_tables(
                     ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
                     jnp.int32(segs[k]), jnp.int32(starts[k]),
                     jnp.int32(thresholds[k]), jump_passes,
                 )
-                for k in range(sg)
-            ]
-            mlun = jnp.stack([r[0] for r in rows])
-            ps = jnp.stack([r[1] for r in rows])
-            jump = jnp.stack([r[2] for r in rows])
-            del rows
+                mlun = _acc_row(mlun, r[0], k)
+                ps = _acc_row(ps, r[1], k)
+                jump = _acc_row(jump, r[2], k)
+                del r
             ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters = (
                 chain_anchors_device(
                     ctx.isa_d, ctx.rm, mlun, ps, jump,
