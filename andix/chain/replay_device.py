@@ -360,6 +360,182 @@ def chain_anchors_device(
     return ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it * unroll
 
 
+@functools.partial(jax.jit, static_argnames=("ecap", "chase", "unroll"))
+def chain_walk_flat(
+    isa,  # int32[Np]
+    rm,  # rmq.RangeMin over the adjacent-LCP array
+    mlun_f,  # int32[Sg, QB] packed blob-order stats (flattened inside)
+    ps_f,  # int32[Sg, QB]
+    jump_f,  # int32[Sg, QB]
+    rowoff,  # int32[Lb] subject row * QB (flat table base of the lane)
+    qoff,  # int32[Lb] lane's q_base within the row blob
+    qs,  # int32[Lb] text offset of each lane's query
+    ss,  # int32[Lb] text base of the lane's subject RS
+    rl,  # int32[Lb] RS length
+    thr,  # int32[Lb] threshold
+    seg_end,  # int32[Lb] lane-relative stop position (exclusive)
+    pos0,  # int32[Lb] entry probe position (lane-relative)
+    lq0,  # int32[Lb] entry last-anchor query position
+    ls0,  # int32[Lb] entry last-anchor subject position
+    ll0,  # int32[Lb] entry last-anchor length
+    max_iters,  # int32 scalar (traced): loop-iteration budget of this chunk
+    max_events,  # int32 scalar (traced): per-lane event budget
+    ecap: int,
+    chase: int = JUMP_CHASE,
+    unroll: int = 1,
+):
+    """Flat-lane resumable chain-walk chunk (the segmented walk's kernel).
+
+    Same probe semantics as ``chain_anchors_device`` (``dist_anchor``,
+    src/process.c:141-214), re-laid-out for the segment-parallel schedule
+    (``andix.chain.segmented``):
+
+    * lanes are a FLAT list, not an [Sg, G] grid — each lane carries its own
+      subject row (``rowoff``), so finished lanes can be
+      compacted away between chunks and query SEGMENTS of the same pair run
+      as independent lanes,
+    * every lane starts from an arbitrary chain entry state (pos0, lq0,
+      ls0, ll0) and stops exactly at ``seg_end``: the exit ``pos`` is the
+      true chain's next probe position (jump+chase results are true chain
+      positions because the jump chain is only taken while gap > threshold,
+      which grows monotonically between anchors),
+    * the loop also stops a lane after ``max_events`` recorded anchors and
+      the whole chunk after ``max_iters`` iterations — both resumable: the
+      returned per-lane state re-enters as the next chunk's entry.
+
+    The chain's cross-probe state is exactly (pos, qend = lq + ll,
+    diag = ls - lq): gap = pos - qend and the lucky diagonal try_s =
+    pos + diag are the only reads of (lq, ls, ll).  Entry states may
+    therefore be canonicalized to ll = 0, lq = qend, ls = qend + diag.
+
+    Returns (ev_lane [compact lane index], ev_q, ev_s, ev_len, ev_cnt,
+    ovf, iters, pos, lq, ls, ll, fin)."""
+    lb = rowoff.shape[0]
+    tbase = rowoff + qoff  # flat [Sg*QB] index of the lane's blob base
+    lane_iota = jnp.arange(lb, dtype=jnp.int32)
+    mlun1 = mlun_f.reshape(-1)
+    ps1 = ps_f.reshape(-1)
+    jump1 = jump_f.reshape(-1)
+
+    def lce(a_text, b_text):
+        t1 = isa[a_text]
+        t2 = isa[b_text]
+        lo = jnp.minimum(t1, t2) + 1
+        hi = jnp.maximum(t1, t2)
+        return rmq.range_min(rm, lo, hi)
+
+    def one_step(pos, lq, ls, ll, fin, evn):
+        probe = ~fin
+        gap0 = pos - lq - ll
+        took = probe & (gap0 > thr)
+
+        def jump_and_chase(pos):
+            safe_q = jnp.where(probe, pos, 0)
+            # jump values are subject-row-blob coordinates: convert
+            # back to lane coordinates with qoff (NOT the flat tbase)
+            pos_qj = jnp.where(took, jump1[tbase + safe_q] - qoff, pos)
+            for _ in range(chase):
+                can = took & (pos_qj < seg_end)
+                safe_j = jnp.where(can, pos_qj, 0)
+                nxt = jump1[tbase + safe_j] - qoff
+                pos_qj = jnp.where(can & (nxt != pos_qj), nxt, pos_qj)
+            return pos_qj
+
+        pos_qj = jax.lax.cond(
+            jnp.any(took), jump_and_chase, lambda p: p, pos
+        )
+        in_range = probe & (pos_qj < seg_end)
+        probe_b = tbase + jnp.where(in_range, pos_qj, 0)
+        probe_t = qs + jnp.where(in_range, pos_qj, 0)
+
+        advance = pos_qj - lq
+        gap = advance - ll
+        try_s = ls + advance
+        lucky_pre = in_range & (try_s < rl) & (gap >= 0) & (gap <= thr)
+        lucky_len = jax.lax.cond(
+            jnp.any(lucky_pre),
+            lambda: jnp.where(
+                lucky_pre,
+                lce(probe_t, ss + jnp.where(lucky_pre, try_s, 0)),
+                0,
+            ),
+            lambda: jnp.zeros(lb, jnp.int32),
+        )
+        lucky_found = lucky_pre & (lucky_len >= thr)
+
+        v = mlun1[probe_b]
+        aml = v & (UNIQ_BIT - 1)
+        aun = (v & UNIQ_BIT) != 0
+        found = in_range & (lucky_found | (aun & (aml >= thr)))
+        this_len = jnp.where(lucky_found, lucky_len, aml)
+        this_s = jnp.where(lucky_found, try_s, ps1[probe_b])
+
+        lq = jnp.where(found, pos_qj, lq)
+        ls = jnp.where(found, this_s, ls)
+        ll = jnp.where(found, this_len, ll)
+        # out-of-range lanes freeze at pos_qj EXACTLY (it is the true
+        # chain's next probe position, the next segment's entry)
+        pos = jnp.where(
+            probe,
+            jnp.where(in_range, pos_qj + this_len + 1, pos_qj),
+            pos,
+        )
+        evn = evn + found.astype(jnp.int32)
+        fin = fin | (probe & ((pos >= seg_end) | (evn >= max_events)))
+        return (pos, lq, ls, ll, fin, evn,
+                found, pos_qj, this_s, this_len)
+
+    def cond(state):
+        return jnp.any(~state[4]) & (state[-1] < max_iters)
+
+    def body(state):
+        (pos, lq, ls, ll, fin, evn,
+         ev_lane_len, ev_qs, ev_cnt, ovf, it) = state
+
+        founds, qjs, ths, tls = [], [], [], []
+        for _ in range(unroll):
+            (pos, lq, ls, ll, fin, evn,
+             found, pos_qj, this_s, this_len) = one_step(
+                pos, lq, ls, ll, fin, evn
+            )
+            founds.append(found.reshape(-1))
+            qjs.append(pos_qj.reshape(-1))
+            ths.append(this_s.reshape(-1))
+            tls.append(this_len.reshape(-1))
+
+        f = jnp.concatenate(founds).astype(jnp.int32)
+        excl = jnp.cumsum(f, dtype=jnp.int32) - f
+        slot = jnp.where(f > 0, ev_cnt + excl, ecap)
+        lanes_k = jnp.concatenate([lane_iota] * unroll).astype(jnp.int64)
+        lane_len = (lanes_k << 32) | jnp.concatenate(tls).astype(jnp.int64)
+        q_s = (
+            jnp.concatenate(qjs).astype(jnp.int64) << 32
+        ) | jnp.concatenate(ths).astype(jnp.int64)
+        ev_lane_len = ev_lane_len.at[slot].set(lane_len, mode="drop")
+        ev_qs = ev_qs.at[slot].set(q_s, mode="drop")
+        total = jnp.sum(f, dtype=jnp.int32)
+        ev_cnt = ev_cnt + total
+        ovf = ovf | (ev_cnt > ecap)
+
+        return (pos, lq, ls, ll, fin, evn,
+                ev_lane_len, ev_qs, ev_cnt, ovf, it + 1)
+
+    fin0 = (pos0 >= seg_end) | (jnp.int32(0) >= max_events)
+    init = (pos0, lq0, ls0, ll0, fin0, jnp.zeros(lb, jnp.int32),
+            jnp.zeros(ecap, jnp.int64), jnp.zeros(ecap, jnp.int64),
+            jnp.zeros((), jnp.int32), jnp.bool_(False),
+            jnp.zeros((), jnp.int32))
+    final = jax.lax.while_loop(cond, body, init)
+    (pos, lq, ls, ll, fin, _evn,
+     ev_lane_len, ev_qs, ev_cnt, ovf, it) = final
+    ev_lane = (ev_lane_len >> 32).astype(jnp.int32)
+    ev_len = (ev_lane_len & 0x7FFFFFFF).astype(jnp.int32)
+    ev_q = (ev_qs >> 32).astype(jnp.int32)
+    ev_s = (ev_qs & 0x7FFFFFFF).astype(jnp.int32)
+    return (ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it * unroll,
+            pos, lq, ls, ll, fin)
+
+
 def _hist16(idx, ok):
     """idx/ok [..., C] -> [..., 16] histogram of masked cell indices."""
     onehot = (idx[..., None] == jnp.arange(16, dtype=jnp.int32)) & ok[..., None]

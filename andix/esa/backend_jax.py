@@ -77,6 +77,8 @@ class BlockContext:
     q_len_d: jax.Array | None = None  # int32[Gp] (0 = padding lane)
     q_base_d: jax.Array | None = None  # int32[Gp] blob base per query lane
     q_len_h: np.ndarray | None = None  # host copy of q_len (no readback)
+    q_start_h: np.ndarray | None = None  # host copy of q_start
+    q_base_h: np.ndarray | None = None  # host copy of q_base
 
 
 def _query_blob(layout: BlockLayout):
@@ -479,6 +481,8 @@ class JaxBackend:
             q_len_d=jnp.asarray(q_len),
             q_base_d=jnp.asarray(q_base),
             q_len_h=q_len,
+            q_start_h=q_start,
+            q_base_h=q_base,
         )
 
     def subject_stats(self, ctx: BlockContext, subject_genome: int):
@@ -541,6 +545,13 @@ class JaxBackend:
         import os as _os
 
         if _os.environ.get("ANDIX_REPLAY", "events") == "events":
+            seg_k = self._chain_segments(ctx)
+            if seg_k > 1:
+                out = self._subject_group_counts_segmented(
+                    ctx, subject_genomes, subjects, model_kind, seg_k
+                )
+                if out is not None:
+                    return out
             out = self._subject_group_counts_events(
                 ctx, subject_genomes, subjects, model_kind
             )
@@ -549,6 +560,180 @@ class JaxBackend:
         return self._subject_group_counts_loop(
             ctx, subject_genomes, subjects, model_kind
         )
+
+    def _chain_segments(self, ctx) -> int:
+        """Query segments per lane for the segment-parallel chain walk
+        (``andix.chain.segmented``).  The sequential chain depth drops
+        ~K-fold; tiny queries gain nothing (the walk is already short) and
+        would pay the extra reconciliation dispatches."""
+        env = __import__("os").environ.get("ANDIX_CHAIN_SEGMENTS", "auto")
+        max_qlen = int(np.max(ctx.q_len_h)) if ctx.q_len_h is not None else 0
+        if env != "auto":
+            k = int(env)
+        elif max_qlen >= 1 << 19:
+            k = 8
+        elif max_qlen >= 1 << 17:
+            k = 4
+        else:
+            k = 1
+        return max(1, min(k, max(max_qlen, 1)))
+
+    def _build_group_tables(self, ctx, sg, segs, starts, thresholds,
+                            jump_passes):
+        """[Sg, QB] mlun/ps/jump device tables for a subject group —
+        fused vmapped build for small blocks, per-subject accumulation
+        into donated buffers for big ones (the [Sg, N] scan intermediates
+        of the fused build exceed HBM at 67M-symbol blocks)."""
+        from ..chain.replay_device import (
+            group_subject_tables, single_subject_tables,
+        )
+
+        padded_n = ctx.sa_d.shape[0]
+        split_min = int(
+            __import__("os").environ.get(
+                "ANDIX_SPLIT_TABLES_MIN", str(1 << 25)
+            )
+        )
+        if padded_n < split_min:
+            return group_subject_tables(
+                ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+                jnp.asarray(segs), jnp.asarray(starts),
+                jnp.asarray(thresholds), jump_passes,
+            )
+        qb_len = ctx.tq_d.shape[0]
+        mlun = jnp.zeros((sg, qb_len), jnp.int32)
+        ps = jnp.zeros((sg, qb_len), jnp.int32)
+        jump = jnp.zeros((sg, qb_len), jnp.int32)
+        for k in range(sg):
+            if segs[k] < 0:
+                continue
+            r = single_subject_tables(
+                ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+                jnp.int32(segs[k]), jnp.int32(starts[k]),
+                jnp.int32(thresholds[k]), jump_passes,
+            )
+            mlun = _acc_row(mlun, r[0], k)
+            ps = _acc_row(ps, r[1], k)
+            jump = _acc_row(jump, r[2], k)
+            del r
+        return mlun, ps, jump
+
+    def _subject_group_counts_segmented(
+        self, ctx, subject_genomes, subjects, model_kind, seg_k
+    ):
+        """Segment-parallel chain walk (``andix.chain.segmented``) + host
+        counting.  Returns None when a device event buffer overflowed."""
+        import time
+
+        from ..chain import events as chain_events
+        from ..chain import segmented
+        from ..chain.replay_device import chain_walk_flat
+        from ..model import CountMatrix
+
+        sg, gp, segs, starts, rs_lens, thresholds, q_len2d = (
+            self._group_tables(ctx, subject_genomes, subjects)
+        )
+        qb = ctx.tq_d.shape[0]
+        jump_passes = int(
+            __import__("os").environ.get("ANDIX_JUMP_PASSES", "0")
+        )
+        jump_passes = min(jump_passes, max(1, (qb - 1).bit_length()))
+        ecap = int(
+            __import__("os").environ.get(
+                "ANDIX_EVENT_CAP", str(max(1 << 16, qb // 2))
+            )
+        )
+        unroll = int(
+            __import__("os").environ.get("ANDIX_PROBE_UNROLL", "4")
+        )
+        chase = int(
+            __import__("os").environ.get("ANDIX_JUMP_CHASE", "12")
+        )
+
+        t0 = time.time()
+        mlun, ps, jump = self._build_group_tables(
+            ctx, sg, segs, starts, thresholds, jump_passes
+        )
+
+        def prof_msg(msg):
+            nonlocal t0
+            t0 = _prof(msg, t0)
+
+        def walk(arr, chunk_iters, maxev):
+            lb = arr["rowoff"].shape[0]
+            out = chain_walk_flat(
+                ctx.isa_d, ctx.rm, mlun, ps, jump,
+                jnp.asarray(arr["rowoff"]), jnp.asarray(arr["qoff"]),
+                jnp.asarray(arr["qs"]),
+                jnp.asarray(arr["ss"]), jnp.asarray(arr["rl"]),
+                jnp.asarray(arr["thr"]), jnp.asarray(arr["seg_end"]),
+                jnp.asarray(arr["pos0"]), jnp.asarray(arr["lq0"]),
+                jnp.asarray(arr["ls0"]), jnp.asarray(arr["ll0"]),
+                jnp.int32(chunk_iters), jnp.int32(maxev),
+                ecap, chase, unroll,
+            )
+            (ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters,
+             pos, lq, ls, ll, fin) = out
+            meta = (
+                jnp.zeros(lb, jnp.int32)
+                .at[0].set(ev_cnt)
+                .at[1].set(ovf.astype(jnp.int32))
+                .at[2].set(iters)
+            )
+            state_h = np.asarray(jax.device_get(jnp.stack(
+                [pos, lq, ls, ll, fin.astype(jnp.int32), meta]
+            )))
+            cnt = int(state_h[5, 0])
+            ovf_h = bool(state_h[5, 1])
+            iters_h = int(state_h[5, 2])
+            if ovf_h:
+                return (np.zeros((4, 0), np.int32), state_h[:4],
+                        state_h[4].astype(bool), iters_h, True)
+            k = min(bucket(max(cnt, 1), minimum=4096), ecap)
+            ev = np.asarray(jax.device_get(jnp.stack(
+                [ev_lane[:k], ev_q[:k], ev_s[:k], ev_len[:k]]
+            )))[:, :cnt]
+            return (ev, state_h[:4], state_h[4].astype(bool),
+                    iters_h, False)
+
+        prof = (
+            prof_msg
+            if __import__("os").environ.get("ANDIX_PROF_FILE")
+            else None
+        )
+        res = segmented.segmented_group_anchors(
+            walk, sg, gp, qb,
+            starts, rs_lens, thresholds,
+            ctx.q_base_h, ctx.q_start_h,
+            q_len2d, seg_k, ecap, prof,
+        )
+        del mlun, ps, jump
+        if res is None:
+            return None
+        lanes, ev_q, ev_s, ev_len = res
+
+        q_off_pad = np.full(gp + 1, ctx.q_off[-1], dtype=np.int64)
+        q_off_pad[: len(ctx.q_off)] = ctx.q_off
+        subjects_rs = [
+            subjects[genome].rs for genome in subject_genomes
+        ] + [None] * (sg - len(subject_genomes))
+        counts_h = chain_events.group_counts_from_events(
+            lanes, ev_q, ev_s, ev_len, sg, gp,
+            subjects_rs, thresholds, ctx.query_blob, q_off_pad,
+            model_kind, self.threads,
+        )
+        _prof(f"host count from {ev_q.shape[0]} events", t0)
+
+        out: dict[int, dict[int, CountMatrix]] = {}
+        for k2, genome in enumerate(subject_genomes):
+            row = {}
+            for g, qgenome in enumerate(ctx.q_genomes):
+                if qgenome == genome:
+                    continue
+                seq_len = int(ctx.q_off[g + 1] - ctx.q_off[g])
+                row[qgenome] = CountMatrix(counts_h[k2, g].copy(), seq_len)
+            out[genome] = row
+        return out
 
     def replay_group(self, n_block_subjects: int, qb: int) -> int:
         """Subjects per chain-walk dispatch.  The walk's sequential depth
@@ -639,7 +824,10 @@ class JaxBackend:
             mlun = jnp.zeros((sg, qb_len), jnp.int32)
             ps = jnp.zeros((sg, qb_len), jnp.int32)
             jump = jnp.zeros((sg, qb_len), jnp.int32)
-            for k in range(sg):
+            # padding rows (segs[k] == -1) stay all-zero: their lanes have
+            # q_len2d == 0 and never probe, and each dispatch is [1, N]
+            # shaped, so skipping them adds no program-shape diversity
+            for k in range(len(subject_genomes)):
                 r = single_subject_tables(
                     ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
                     jnp.int32(segs[k]), jnp.int32(starts[k]),

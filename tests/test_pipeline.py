@@ -124,7 +124,7 @@ class TestDevicePlan:
     def test_padded_bucket_fits_budget(self):
         """The 8 x 5 Mbp config (80M real symbols -> 100.7M bucket) OOMed
         when the plan budgeted real symbols: every planned block's PADDED
-        bucket must fit the ~120 B/padded-symbol SA-loop peak."""
+        bucket must fit the BYTES_PER_PADDED_SYM SA-loop peak."""
         from andix.esa.backend_jax import DEVICE_MEM_BYTES, bucket
 
         subs = self._subs(8, 5_000_000)
