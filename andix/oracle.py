@@ -88,3 +88,88 @@ def matrix_oracle(
             else:
                 M[i][j] = dist_pair_oracle(subject, seqs[j], model_kind)
     return M
+
+
+# ---------------------------------------------------------------------------
+# Shim-RNG twin for the bootstrap byte-parity gate.
+#
+# The reference seeds its GSL RNG with time(NULL) (src/andi.c:272-279, an
+# upstream reproducibility TODO), so `-b` stdout cannot be compared against
+# the compiled oracle directly.  The parity tests compile the reference
+# against tests/refshim/gsl (splitmix64 + conditional-binomial multinomial,
+# seedable via SHIM_RNG_SEED); this is the bit-exact Python twin of that
+# stream, enabled in andix by ANDIX_BOOTSTRAP_SHIM_SEED (test-only).  With
+# both sides on the same seed, the full multi-matrix `-b` stdout (averaging,
+# diagonal sentinels, sci-notation interaction) is byte-comparable.
+# ---------------------------------------------------------------------------
+
+_MASK64 = (1 << 64) - 1
+
+
+class ShimRng:
+    """splitmix64 stream identical to tests/refshim/gsl/gsl_rng.h."""
+
+    def __init__(self, seed: int):
+        self.s = (seed if seed else 1) & _MASK64
+
+    def next64(self) -> int:
+        self.s = (self.s + 0x9E3779B97F4A7C15) & _MASK64
+        z = self.s
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+        return z ^ (z >> 31)
+
+    def uniform(self) -> float:
+        return (self.next64() >> 11) * (1.0 / 9007199254740992.0)
+
+    def binomial(self, p: float, n: int) -> int:
+        """tests/refshim/gsl/gsl_randist.h shim_binomial, exactly: direct
+        Bernoulli counting below 64 draws, explicit lo-then-hi recursion
+        above (the C shim sequences the calls for a defined order)."""
+        if p <= 0:
+            return 0
+        if p >= 1:
+            return n
+        if n < 64:
+            k = 0
+            for _ in range(n):
+                if self.uniform() < p:
+                    k += 1
+            return k
+        half = n // 2
+        lo = self.binomial(p, half)
+        return lo + self.binomial(p, n - half)
+
+    def multinomial(self, total: int, p: list[float]) -> list[int]:
+        """Conditional-binomial multinomial (gsl_ran_multinomial shim):
+        sequential left fold for norm/rest, double division — all ordered
+        exactly as the C code so the doubles agree bit for bit."""
+        norm = 0.0
+        for v in p:
+            norm += v
+        rest = norm
+        left = total
+        out = []
+        for v in p:
+            if v > 0 and rest > 0:
+                k = self.binomial(v / rest, left)
+            else:
+                k = 0
+            out.append(k)
+            left -= k
+            rest -= v
+        return out
+
+
+def shim_model_bootstrap(m, rng: "ShimRng"):
+    """Reference ``model_bootstrap`` (src/model.c:222-232) over the shim
+    stream: p[i] = counts[i] / nucl with no zero-total guard — the shim
+    multinomial returns all zeros for a zero total, matching the oracle."""
+    from .model import CountMatrix, model_total
+
+    nucl = model_total(m)
+    if nucl <= 0:
+        return m.copy()
+    p = [float(c) / float(nucl) for c in m.counts]
+    counts = rng.multinomial(int(nucl), p)
+    return CountMatrix(np.asarray(counts, dtype=np.int64), m.seq_len)

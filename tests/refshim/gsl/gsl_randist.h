@@ -14,9 +14,11 @@ static inline unsigned int shim_binomial(gsl_rng *r, double p, unsigned int n) {
             if (gsl_rng_uniform(r) < p) k++;
         return k;
     }
-    /* BTRS-free: sum of 64 chunked binomials via recursion */
+    /* BTRS-free: sum of chunked binomials via recursion; sequence the
+       calls explicitly (operand evaluation order of + is unspecified) */
     unsigned int half = n / 2;
-    return shim_binomial(r, p, half) + shim_binomial(r, p, n - half);
+    unsigned int lo = shim_binomial(r, p, half);
+    return lo + shim_binomial(r, p, n - half);
 }
 static inline void gsl_ran_multinomial(gsl_rng *r, size_t K, unsigned int N,
                                        const double p[], unsigned int n[]) {
