@@ -57,7 +57,11 @@ import numpy as np
 BIG = 1 << 29
 
 REPAIR_EVENTS = int(os.environ.get("ANDIX_REPAIR_EVENTS", "12"))
-CHUNK_ITERS = int(os.environ.get("ANDIX_CHUNK_ITERS", "2048"))
+# first chunk's iteration cap; subsequent chunks double it.  Small chunks
+# early let finished lanes compact away (close pairs finish in ~1/4 the
+# probes of diverged ones — the lock-step tail would drag their gathers
+# along); doubling bounds the dispatch count logarithmically.
+CHUNK_ITERS = int(os.environ.get("ANDIX_CHUNK_ITERS", "768"))
 # after this many event-budget extensions without a merge, walk the rest
 # of the lane in one go (sequential fallback for anchor-free lanes)
 MAX_EXTENSIONS = 2
@@ -142,6 +146,7 @@ class SegmentedWalk:
                 )
                 continue
             active.append(dict(r))
+        chunk_iters = CHUNK_ITERS
         while active:
             lb = _lane_bucket(len(active))
             arr = {
@@ -169,8 +174,9 @@ class SegmentedWalk:
             # the chunk budget but still have their own budget left
             maxev = int(arr["maxev"][:len(active)].min())
             ev3, state, fin, iters, ovf = self.walk(
-                arr, CHUNK_ITERS, maxev
+                arr, chunk_iters, maxev
             )
+            chunk_iters *= 2
             self.dispatches += 1
             self.iters += int(iters)
             if ovf:

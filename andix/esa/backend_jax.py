@@ -360,24 +360,35 @@ class JaxBackend:
         # ANDIX_SA_LOOP=host keeps the legacy per-round-readback driver
         # for A/B profiling (VERDICT r2 #1)
         sa_mode = __import__("os").environ.get("ANDIX_SA_LOOP", "device")
-        # sampled-PLCP LCP (plcp.py) needs the block-text alphabet contract;
-        # texts from device_text satisfy it by construction, but verify the
-        # bytes anyway (ANDIX_LCP=levels keeps the rank-level walk for A/B)
-        lcp_mode = "levels"
-        env_mode = __import__("os").environ.get("ANDIX_LCP", "hybrid")
-        if packed_ranks and env_mode in ("plcp", "hybrid"):
+        # sampled-PLCP LCP (plcp.py) and the wide dense-code initial ranks
+        # both need the block-text alphabet contract; texts from
+        # device_text satisfy it by construction, but verify the bytes
+        # anyway (ANDIX_LCP=levels keeps the rank-level walk for A/B)
+        alphabet_ok = False
+        if packed_ranks:
             present = np.nonzero(np.bincount(layout.u8, minlength=256))[0]
             from . import plcp as _plcp_mod
 
-            if all(int(b) in _plcp_mod.ALPHABET_U8 for b in present):
-                lcp_mode = env_mode
+            alphabet_ok = all(
+                int(b) in _plcp_mod.ALPHABET_U8 for b in present
+            )
+        lcp_mode = "levels"
+        env_mode = __import__("os").environ.get("ANDIX_LCP", "hybrid")
+        if alphabet_ok and env_mode in ("plcp", "hybrid"):
+            lcp_mode = env_mode
+        base_env = __import__("os").environ.get("ANDIX_SA_BASE")
+        base_width = (
+            int(base_env)
+            if base_env
+            else doubling.wide_base_width(nseg, alphabet_ok)
+        )
         host_lcp = not use_device_lcp
         sa_d = lcp_d = None
         if use_device_lcp and sa_mode != "host":
             sa_d, lcp_d, ovf_d, may_ovf = doubling.sa_lcp_device(
                 sym_d, packed=packed_ranks,
                 max_levels=budget if self.device_lcp is None else None,
-                lcp_mode=lcp_mode,
+                lcp_mode=lcp_mode, base_width=base_width,
             )
             if may_ovf and bool(np.asarray(jax.device_get(ovf_d))):
                 # level buffer overflowed (pathologically repetitive
@@ -646,8 +657,11 @@ class JaxBackend:
         unroll = int(
             __import__("os").environ.get("ANDIX_PROBE_UNROLL", "4")
         )
+        # chase 4 measured iteration-neutral on the flat walk (diverged
+        # stretches re-jump next step instead of chasing deeper) while
+        # cutting its gather volume ~25% (sweep r4)
         chase = int(
-            __import__("os").environ.get("ANDIX_JUMP_CHASE", "12")
+            __import__("os").environ.get("ANDIX_JUMP_CHASE", "4")
         )
 
         t0 = time.time()

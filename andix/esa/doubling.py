@@ -66,19 +66,50 @@ def _heads_and_tied(keys_changed: jax.Array, length: int):
     return head_sorted, tied
 
 
-@functools.partial(jax.jit, static_argnames=("length", "packed"))
-def _initial_ranks(sym: jax.Array, length: int, packed: bool = False):
-    """Initial prefix ranks: width 1 (exact, any alphabet) or width
-    BASE_WIDTH via ONE two-key sort (packed=True, block-text contract).
+def wide_base_width(nseg: int, alphabet_ok: bool) -> int:
+    """Initial-rank width for the dense-code packed key (``_initial_ranks``
+    base > 4): the block alphabet {!,#,;,A,C,G,T} maps to codes 1..7,
+    separators 256+g to 8+g, padding to the reserved top code, so a symbol
+    needs ceil(log2(nseg + 10)) bits and floor(62/bits) of them fill one
+    positive int64 key.  Capped at 12 — the level-walk remainder is closed
+    by two 6-symbol packed-word probes (``_lcp_from_level_buffer``).
+    Returns BASE_WIDTH when the contract does not hold (non-block bytes
+    present) — callers fall back to the clamped width-4 key."""
+    if not alphabet_ok:
+        return BASE_WIDTH
+    bits = max(4, (nseg + 9).bit_length())
+    return max(BASE_WIDTH, min(62 // bits, 12))
 
-    Packed: key1 is the full symbol (keeps separators and the strictly
-    increasing padding exactly ordered); key2 packs the next three symbols
-    clamped to 10 bits.  Clamping is monotone, so it can only merge orders
-    into ties — never invert them — and under the contract above the only
-    clamped values are tail padding, whose window patterns are unique per
-    position, so no information the later doubling rounds can't see is
-    lost.  Out-of-range positions pack as 0 < every real symbol, matching
-    shorter-suffix-sorts-first (only padding suffixes reach out of range).
+
+@functools.partial(jax.jit, static_argnames=("length", "packed", "base"))
+def _initial_ranks(sym: jax.Array, length: int, packed: bool = False,
+                   base: int = BASE_WIDTH):
+    """Initial prefix ranks: width 1 (exact, any alphabet), width
+    BASE_WIDTH via ONE single-key sort (packed=True, block-text contract),
+    or width ``base`` in 5..12 via the dense-code key below (packed=True
+    plus the {!,#,;,A,C,G,T}+separators alphabet, ``wide_base_width``).
+
+    Packed (base == BASE_WIDTH): key1 is the full symbol (keeps separators
+    and the strictly increasing padding exactly ordered); key2 packs the
+    next three symbols clamped to 10 bits.  Clamping is monotone, so it
+    can only merge orders into ties — never invert them — and under the
+    contract above the only clamped values are tail padding, whose window
+    patterns are unique per position, so no information the later doubling
+    rounds can't see is lost.  Out-of-range positions pack as 0 < every
+    real symbol, matching shorter-suffix-sorts-first (only padding
+    suffixes reach out of range).
+
+    Dense-code (base > BASE_WIDTH): real symbols map order-preservingly
+    and injectively to small codes ('!'=1 '#'=2 ';'=3 A=4 C=5 G=6 T=7,
+    separator 256+g = 8+g), padding symbols to the reserved maximal code;
+    ``base`` codes pack big-endian into one int64, and padding POSITIONS
+    take a disjoint upper key band ordered by position (their true order).
+    No false ties exist at all: two distinct real positions whose windows
+    both reach padding necessarily contain the text's final unique
+    separator at different offsets, so their keys differ — hence equal
+    rank at width ``base`` ⟺ equal base-symbol prefix, exactly what the
+    level-walk LCPs require.  Skipping straight to width ``base`` saves
+    the k=4 and k=8 full-size doubling rounds and two rank levels of HBM.
 
     Returns (rank, tied): bucket-head ranks in text order, tied = number of
     positions whose group has >= 2 members (0 ⟺ fully resolved)."""
@@ -90,6 +121,33 @@ def _initial_ranks(sym: jax.Array, length: int, packed: bool = False):
         changed = jnp.concatenate(
             [jnp.ones(1, bool), k1s[1:] != k1s[:-1]]
         )
+    elif base > BASE_WIDTH:
+        bits = 62 // base
+        maxcode = jnp.int64((1 << bits) - 1)
+        c = jnp.where(s == 65, 4, 0)
+        for byte, code in ((67, 5), (71, 6), (84, 7), (33, 1), (35, 2),
+                           (59, 3)):
+            c = jnp.where(s == byte, code, c)
+        c = c.astype(jnp.int64)
+        c = jnp.where(s >= 256, jnp.minimum(jnp.int64(8) + (s - 256),
+                                            maxcode), c)
+
+        def shift_read(x, j):
+            if j == 0:
+                return x
+            return jnp.concatenate(
+                [x[min(j, length):], jnp.zeros(min(j, length), x.dtype)]
+            )
+
+        key = c
+        for j in range(1, base):
+            key = (key << bits) | shift_read(c, j)
+        is_pad = s >= (1 << 20)
+        key = jnp.where(
+            is_pad, jnp.int64(1 << 62) + idx.astype(jnp.int64), key
+        )
+        kp, order = jax.lax.sort((key, idx), num_keys=1)
+        changed = jnp.concatenate([jnp.ones(1, bool), kp[1:] != kp[:-1]])
     else:
         def clamp_at(j):
             sh = jnp.concatenate(
@@ -353,10 +411,12 @@ def suffix_array(sym: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def levels_needed(length: int, packed: bool = False) -> int:
+def levels_needed(length: int, packed: bool = False,
+                  base: int | None = None) -> int:
     """Level-buffer size that can never overflow: the initial width-base
     level plus one per doubling round until the width covers the text."""
-    base = BASE_WIDTH if packed else 1
+    if base is None:
+        base = BASE_WIDTH if packed else 1
     lv = 1
     w = base
     while w < length:
@@ -408,7 +468,10 @@ def _lcp_from_level_buffer(sa, levels, lev_count, sym, base: int,
     a = jnp.concatenate([sa[:1], sa[:-1]])
     b = sa
     h = jnp.zeros(n, jnp.int32)
-    bottom = 1 if packed else 0  # packed: widths >= 8 via levels, < 8 via w6
+    # packed: the sub-level remainder is closed by two probes of the
+    # 6-symbol packed word below, which cover 12 symbols — so level 0
+    # (width base) can be skipped only while 2*base <= 12
+    bottom = 1 if (packed and base <= 6) else 0
     for r in range(nlev - 1, bottom - 1, -1):
         lev = levels[r]
         w = jnp.int32(base << r)
@@ -461,6 +524,7 @@ def _sa_loop_traced(
     thr0: int,
     tiers: tuple[int, ...],
     level_min_k: int = 0,
+    base: int | None = None,
 ):
     """Traced device-resident doubling driver: full rounds + tiered tail
     rounds, levels collected into a fixed buffer.  Returns
@@ -472,8 +536,11 @@ def _sa_loop_traced(
     high-width levels for its walk escape, so the buffer shrinks from
     ~log2(N) rows to a handful."""
     length = int(sym.shape[0])
-    base = BASE_WIDTH if packed else 1
-    rank, tied, order = _initial_ranks(sym, length, packed)
+    if base is None:
+        base = BASE_WIDTH if packed else 1
+    rank, tied, order = _initial_ranks(
+        sym, length, packed, base if packed else BASE_WIDTH
+    )
 
     levels = jnp.zeros((L, length), jnp.int32)
     if level_min_k == 0:
@@ -546,18 +613,20 @@ def _sa_loop_traced(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("packed", "L", "thr0", "tiers", "level_min_k")
+    jax.jit,
+    static_argnames=("packed", "L", "thr0", "tiers", "level_min_k", "base"),
 )
-def _sa_core(sym, *, packed, L, thr0, tiers, level_min_k=0):
+def _sa_core(sym, *, packed, L, thr0, tiers, level_min_k=0, base=None):
     """SA loop as its own program (compile-size split: one mega-module
     with loop + walk takes far longer to compile than the two halves;
     both dispatches are async, so the split costs no extra syncs)."""
-    return _sa_loop_traced(sym, packed, L, thr0, tiers, level_min_k)
+    return _sa_loop_traced(sym, packed, L, thr0, tiers, level_min_k, base)
 
 
-@functools.partial(jax.jit, static_argnames=("packed",))
-def _lcp_core(sa, levels, lev_count, sym, *, packed):
-    base = BASE_WIDTH if packed else 1
+@functools.partial(jax.jit, static_argnames=("packed", "base"))
+def _lcp_core(sa, levels, lev_count, sym, *, packed, base=None):
+    if base is None:
+        base = BASE_WIDTH if packed else 1
     return _lcp_from_level_buffer(sa, levels, lev_count, sym, base, packed)
 
 
@@ -570,14 +639,18 @@ def _sa_lcp_core(
     tiers: tuple[int, ...],
     want_lcp: bool,
     lcp_mode: str = "levels",
+    base: int | None = None,
 ):
     """Traced composition (used inside shard_map, where everything must
     live in one program anyway).  Returns (sa, lcp, overflow); lcp is
     all-zero when want_lcp=False and must be ignored when overflow is
     True.  ``lcp_mode="hybrid"`` uses the sampled-PLCP fill (same as the
     single-chip default; requires the packed block-text alphabet)."""
-    base = BASE_WIDTH if packed else 1
-    sa, levels, lev_idx, ovf = _sa_loop_traced(sym, packed, L, thr0, tiers)
+    if base is None:
+        base = BASE_WIDTH if packed else 1
+    sa, levels, lev_idx, ovf = _sa_loop_traced(
+        sym, packed, L, thr0, tiers, base=base
+    )
     if want_lcp and lcp_mode == "hybrid":
         from . import plcp as _plcp
 
@@ -602,6 +675,7 @@ def sa_lcp_device(
     max_levels: int | None = None,
     want_lcp: bool = True,
     lcp_mode: str = "levels",
+    base_width: int | None = None,
 ):
     """Suffix array + adjacent LCP in one device dispatch.
 
@@ -623,6 +697,9 @@ def sa_lcp_device(
         return z, z, jnp.bool_(False), False
     thr0 = int(length * _BUCKET_FRAC)
     tiers = _tail_tiers(length, thr0)
+    base = base_width if (packed and base_width) else (
+        BASE_WIDTH if packed else 1
+    )
 
     if want_lcp and lcp_mode == "plcp":
         from . import plcp as _plcp
@@ -631,6 +708,8 @@ def sa_lcp_device(
         L = min(needed, 8)
         if max_levels is not None:
             L = min(L, max(max_levels, 1))
+        # the plcp escape walk assumes level widths W0 << r, which only
+        # holds for power-of-two bases: pin the A/B path to BASE_WIDTH
         sa, levels, lev_idx, ovf = _sa_core(
             sym, packed=packed, L=L, thr0=thr0, tiers=tiers,
             level_min_k=_plcp.W0 // 2,
@@ -648,28 +727,27 @@ def sa_lcp_device(
         # overflow to the host Φ-LCP like every other mode
         from . import plcp as _plcp
 
-        needed = levels_needed(length, packed)
+        needed = levels_needed(length, packed, base)
         L = max(1, min(needed, max_levels) if max_levels else needed)
         L = min(L, 14)
         sa, levels, lev_idx, ovf = _sa_core(
-            sym, packed=packed, L=L, thr0=thr0, tiers=tiers
+            sym, packed=packed, L=L, thr0=thr0, tiers=tiers, base=base
         )
         lcp, ovf2 = _plcp.plcp_lcp_hybrid(
-            sym, sa, levels, lev_idx,
-            base_width=BASE_WIDTH if packed else 1,
+            sym, sa, levels, lev_idx, base_width=base
         )
         return sa, lcp, ovf | ovf2, True
 
-    needed = levels_needed(length, packed)
+    needed = levels_needed(length, packed, base)
     L = min(needed, max_levels) if max_levels is not None else needed
     if not want_lcp:
         L = 1  # levels unused; keep the buffer at one row
     L = max(L, 1)
     sa, levels, lev_idx, ovf = _sa_core(
-        sym, packed=packed, L=L, thr0=thr0, tiers=tiers
+        sym, packed=packed, L=L, thr0=thr0, tiers=tiers, base=base
     )
     if want_lcp:
-        lcp = _lcp_core(sa, levels, lev_idx, sym, packed=packed)
+        lcp = _lcp_core(sa, levels, lev_idx, sym, packed=packed, base=base)
     else:
         lcp = jnp.zeros(0, jnp.int32)
     return sa, lcp, ovf, L < needed

@@ -81,6 +81,52 @@ class TestDoubling:
         want = sa_numpy.lcp_array(padded, np.asarray(sa_d))
         assert (np.asarray(lcp_d)[:n] == want[:n]).all()
 
+    @pytest.mark.parametrize("base_w", [4, 6, 10, 12])
+    def test_wide_initial_ranks_sa_lcp_exact(self, rng, dna, mutator,
+                                             base_w):
+        """Dense-code wide initial ranks (doubling.wide_base_width): the
+        SA and the hybrid/levels LCPs must equal the host oracle for every
+        base width on a real block text (separators + joiners + padding +
+        near-identical genomes for deep ties)."""
+        import jax.numpy as jnp
+
+        from andix.esa import doubling
+        from andix.esa.backend_jax import bucket, device_text, pad_symbols
+
+        base = dna(rng, 600)
+        g2 = mutator(rng, base, 0.01)
+        g2[200] = ord("!")
+        rs = {0: catcomp(base), 1: catcomp(g2)}
+        layout = joint.build_block(rs, {})
+        padded_n = bucket(layout.n, minimum=1024)
+        sym_d = device_text(layout, padded_n)
+        padded = pad_symbols(layout.sym, padded_n)
+        want_sa = sa_numpy.suffix_array(padded)
+        want_lcp = sa_numpy.lcp_array(padded, want_sa)
+        n = layout.n
+        for mode in ("hybrid", "levels"):
+            sa_d, lcp_d, ovf, _ = doubling.sa_lcp_device(
+                sym_d, packed=True, lcp_mode=mode, base_width=base_w
+            )
+            assert not bool(ovf)
+            assert (np.asarray(sa_d) == want_sa).all(), (mode, base_w)
+            assert (np.asarray(lcp_d)[:n] == want_lcp[:n]).all(), (
+                mode, base_w,
+            )
+
+    def test_wide_base_width_rules(self):
+        from andix.esa import doubling
+
+        # alphabet violation -> clamped width-4 key
+        assert doubling.wide_base_width(5, False) == 4
+        # few segments: 5-bit codes, 12 symbols per int64
+        assert doubling.wide_base_width(8, True) == 12
+        # eco29-block-scale segment counts: 6-bit codes, 10 symbols
+        assert doubling.wide_base_width(40, True) == 10
+        # many segments degrade gracefully, never below BASE_WIDTH
+        assert doubling.wide_base_width(1000, True) == 6
+        assert doubling.wide_base_width(16000, True) == 4
+
     def test_fixed_rounds_variant(self, rng):
         import jax.numpy as jnp
 
