@@ -364,10 +364,10 @@ def chain_anchors_device(
 def chain_walk_flat(
     isa,  # int32[Np]
     rm,  # rmq.RangeMin over the adjacent-LCP array
-    mlun_f,  # int32[Sg, QB] packed blob-order stats (flattened inside)
+    mlun_f,  # int32[Sg, QB] packed blob-order stats
     ps_f,  # int32[Sg, QB]
     jump_f,  # int32[Sg, QB]
-    rowoff,  # int32[Lb] subject row * QB (flat table base of the lane)
+    row,  # int32[Lb] subject table row of the lane
     qoff,  # int32[Lb] lane's q_base within the row blob
     qs,  # int32[Lb] text offset of each lane's query
     ss,  # int32[Lb] text base of the lane's subject RS
@@ -391,7 +391,7 @@ def chain_walk_flat(
     (``andix.chain.segmented``):
 
     * lanes are a FLAT list, not an [Sg, G] grid — each lane carries its own
-      subject row (``rowoff``), so finished lanes can be
+      subject row (``row``), so finished lanes can be
       compacted away between chunks and query SEGMENTS of the same pair run
       as independent lanes,
     * every lane starts from an arbitrary chain entry state (pos0, lq0,
@@ -410,12 +410,11 @@ def chain_walk_flat(
 
     Returns (ev_lane [compact lane index], ev_q, ev_s, ev_len, ev_cnt,
     ovf, iters, pos, lq, ls, ll, fin)."""
-    lb = rowoff.shape[0]
-    tbase = rowoff + qoff  # flat [Sg*QB] index of the lane's blob base
+    lb = row.shape[0]
     lane_iota = jnp.arange(lb, dtype=jnp.int32)
-    mlun1 = mlun_f.reshape(-1)
-    ps1 = ps_f.reshape(-1)
-    jump1 = jump_f.reshape(-1)
+    # tables stay 2-D and are gathered with (row, col) index pairs: a
+    # flat reshape of a [Sg, QB] array is a PHYSICAL copy on TPU (tiled
+    # layouts) — three ~2.4 GB transients OOMed the n=22 block
 
     def lce(a_text, b_text):
         t1 = isa[a_text]
@@ -431,13 +430,13 @@ def chain_walk_flat(
 
         def jump_and_chase(pos):
             safe_q = jnp.where(probe, pos, 0)
-            # jump values are subject-row-blob coordinates: convert
-            # back to lane coordinates with qoff (NOT the flat tbase)
-            pos_qj = jnp.where(took, jump1[tbase + safe_q] - qoff, pos)
+            # jump values are subject-row-blob coordinates: convert back
+            # to lane coordinates with qoff
+            pos_qj = jnp.where(took, jump_f[row, qoff + safe_q] - qoff, pos)
             for _ in range(chase):
                 can = took & (pos_qj < seg_end)
                 safe_j = jnp.where(can, pos_qj, 0)
-                nxt = jump1[tbase + safe_j] - qoff
+                nxt = jump_f[row, qoff + safe_j] - qoff
                 pos_qj = jnp.where(can & (nxt != pos_qj), nxt, pos_qj)
             return pos_qj
 
@@ -445,7 +444,7 @@ def chain_walk_flat(
             jnp.any(took), jump_and_chase, lambda p: p, pos
         )
         in_range = probe & (pos_qj < seg_end)
-        probe_b = tbase + jnp.where(in_range, pos_qj, 0)
+        probe_c = qoff + jnp.where(in_range, pos_qj, 0)
         probe_t = qs + jnp.where(in_range, pos_qj, 0)
 
         advance = pos_qj - lq
@@ -463,12 +462,12 @@ def chain_walk_flat(
         )
         lucky_found = lucky_pre & (lucky_len >= thr)
 
-        v = mlun1[probe_b]
+        v = mlun_f[row, probe_c]
         aml = v & (UNIQ_BIT - 1)
         aun = (v & UNIQ_BIT) != 0
         found = in_range & (lucky_found | (aun & (aml >= thr)))
         this_len = jnp.where(lucky_found, lucky_len, aml)
-        this_s = jnp.where(lucky_found, try_s, ps1[probe_b])
+        this_s = jnp.where(lucky_found, try_s, ps_f[row, probe_c])
 
         lq = jnp.where(found, pos_qj, lq)
         ls = jnp.where(found, this_s, ls)

@@ -90,7 +90,7 @@ class _Sub:
     j: int
     start: int
     end: int
-    rowoff: int
+    row: int
     qoff: int
     qs: int
     ss: int
@@ -151,7 +151,7 @@ class SegmentedWalk:
             lb = _lane_bucket(len(active))
             arr = {
                 name: np.zeros(lb, np.int32)
-                for name in ("rowoff", "qoff", "qs", "ss", "rl", "thr",
+                for name in ("row", "qoff", "qs", "ss", "rl", "thr",
                              "seg_end", "pos0", "lq0", "ls0", "ll0",
                              "maxev")
             }
@@ -159,7 +159,7 @@ class SegmentedWalk:
             arr["thr"][:] = BIG
             for i, r in enumerate(active):
                 sub = r["sub"]
-                arr["rowoff"][i] = sub.rowoff
+                arr["row"][i] = sub.row
                 arr["qoff"][i] = sub.qoff
                 arr["qs"][i] = sub.qs
                 arr["ss"][i] = sub.ss
@@ -301,7 +301,7 @@ def segmented_group_anchors(
             for j, (st, en) in enumerate(segs):
                 subs[(lane, j)] = _Sub(
                     lane=lane, j=j, start=st, end=en,
-                    rowoff=s * qb, qoff=int(q_base[g]), qs=int(q_start[g]),
+                    row=s, qoff=int(q_base[g]), qs=int(q_start[g]),
                     ss=int(subj_starts[s]), rl=int(rs_lens[s]),
                     thr=int(thresholds[s]), qlen=qlen,
                 )

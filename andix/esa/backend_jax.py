@@ -674,10 +674,10 @@ class JaxBackend:
             t0 = _prof(msg, t0)
 
         def walk(arr, chunk_iters, maxev):
-            lb = arr["rowoff"].shape[0]
+            lb = arr["row"].shape[0]
             out = chain_walk_flat(
                 ctx.isa_d, ctx.rm, mlun, ps, jump,
-                jnp.asarray(arr["rowoff"]), jnp.asarray(arr["qoff"]),
+                jnp.asarray(arr["row"]), jnp.asarray(arr["qoff"]),
                 jnp.asarray(arr["qs"]),
                 jnp.asarray(arr["ss"]), jnp.asarray(arr["rl"]),
                 jnp.asarray(arr["thr"]), jnp.asarray(arr["seg_end"]),

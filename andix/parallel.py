@@ -80,7 +80,9 @@ def round_robin_blocks(n_subjects: int, n_devices: int) -> list[list[int]]:
 
 @functools.lru_cache(maxsize=None)
 def _sharded_counts_fn(
-    mesh: Mesh, padded_n: int, exact: bool, jump_passes: int
+    mesh: Mesh, padded_n: int, exact: bool, jump_passes: int,
+    mode: str = "loop", lcp_mode: str = "levels", base: int = 4,
+    ecap: int = 0, unroll: int = 4,
 ):
     """The jitted sharded pair-grid step.
 
@@ -99,35 +101,52 @@ def _sharded_counts_fn(
       q_start     int32[P, G]     text offset per query lane
       q_len2d     int32[P, L, G]  query lengths (0 disables a lane)
 
-    Returns int32[P, L, G, 16]: all devices' count tiles, replicated after
-    the all_gather merge.
+    ``mode="loop"`` (fallback): the count-in-loop replay; returns
+    int32[P, L, G, 16] count tiles replicated after an all_gather merge.
+
+    ``mode="events"`` (production, same as the single-chip default): the
+    chain walk records anchor events per device; returns the PER-SHARD
+    event buffers (ev_lane, ev_q, ev_s, ev_len int32[P, ecap]) plus
+    int32[P, 8] meta rows (cnt, lcp_overflow, event_overflow, iterations)
+    — counting then runs on host from each device's local events
+    (``chain.events``), ~16 bytes per anchor off-device instead of the
+    in-loop [L, G, chunk] text gathers.  ``lcp_mode="hybrid"`` uses the
+    sampled-PLCP fill inside shard_map via the traced composition
+    (``doubling._sa_lcp_core``); its overflow flag rides the meta row and
+    the caller reruns in "loop"+"levels" mode (full level buffer, cannot
+    overflow) when set.
     """
-    from .chain.replay_device import group_subject_tables, replay_rows_device
+    from .chain.replay_device import (
+        chain_anchors_device, group_subject_tables, replay_rows_device,
+    )
     from .esa import doubling
     from .esa.backend_jax import level_budget
 
     # same device-resident SA+LCP loop as the single-chip path (early exit
     # + bucketed tail tiers — the fixed-round variant burned ~23 full-size
-    # sorts per block, VERDICT r2 weak #2); the planner guarantees the
-    # level buffer covers the worst case, so overflow can never fire
-    L = doubling.levels_needed(padded_n, packed=True)
-    assert L <= level_budget(padded_n), "planner must pre-check the budget"
+    # sorts per block, VERDICT r2 weak #2)
+    if lcp_mode == "hybrid":
+        # hybrid caps the level stack like the single-chip default; deeper
+        # inputs raise the overflow flag and the caller reruns with the
+        # full-buffer levels mode
+        L = min(doubling.levels_needed(padded_n, packed=True, base=base), 14)
+    else:
+        # full buffer: overflow can never fire (pre-checked vs the budget)
+        L = doubling.levels_needed(padded_n, packed=True, base=base)
+        assert L <= level_budget(padded_n), (
+            "planner must pre-check the budget"
+        )
     thr0 = int(padded_n * doubling._BUCKET_FRAC)
     tiers = doubling._tail_tiers(padded_n, thr0)
 
-    def per_device(
-        packed, exc_pos, exc_val, n_real, seg_bounds, tq_text,
-        subj_seg, subj_start, rs_len, threshold, q_base, q_start, q_len2d,
-    ):
+    def prep(packed, exc_pos, exc_val, n_real, seg_bounds, tq_text,
+             subj_seg, subj_start, threshold):
         sym = _build_device_text_packed(
             packed[0], exc_pos[0], exc_val[0], n_real[0, 0]
         )
-        # rank-level walk LCP: the hybrid sampled-PLCP body trips an XLA
-        # sharding-propagation assert under shard_map (strided slices on
-        # per-device shards); the walk is ~1s slower per block at 16M
-        # symbols but identical in output
-        sa, lcp, _ = doubling._sa_lcp_core(
+        sa, lcp, ovf = doubling._sa_lcp_core(
             sym, packed=True, L=L, thr0=thr0, tiers=tiers, want_lcp=True,
+            lcp_mode=lcp_mode, base=base,
         )
         segid = _device_segid(sa, seg_bounds[0])
         isa = matchstats_jax.inverse_sa_device(sa)
@@ -136,6 +155,52 @@ def _sharded_counts_fn(
         mlun, ps, jump = group_subject_tables(
             sa, lcp, segid, tq,
             subj_seg[0], subj_start[0], threshold[0], jump_passes,
+        )
+        return sym, isa, rm, mlun, ps, jump, ovf
+
+    if mode == "events":
+        def per_device(
+            packed, exc_pos, exc_val, n_real, seg_bounds, tq_text,
+            subj_seg, subj_start, rs_len, threshold,
+            q_base, q_start, q_len2d,
+        ):
+            _, isa, rm, mlun, ps, jump, ovf = prep(
+                packed, exc_pos, exc_val, n_real, seg_bounds, tq_text,
+                subj_seg, subj_start, threshold,
+            )
+            ev_lane, ev_q, ev_s, ev_len, ev_cnt, ev_ovf, iters = (
+                chain_anchors_device(
+                    isa, rm, mlun, ps, jump,
+                    subj_start[0], rs_len[0], threshold[0],
+                    q_base[0], q_start[0], q_len2d[0],
+                    ecap, unroll=unroll,
+                )
+            )
+            meta = jnp.stack([
+                ev_cnt, ovf.astype(jnp.int32), ev_ovf.astype(jnp.int32),
+                iters, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0),
+            ])
+            # meta rides an all_gather so every process can read all
+            # shards' counts/overflow flags directly (events stay local)
+            return (
+                ev_lane[None], ev_q[None], ev_s[None], ev_len[None],
+                jax.lax.all_gather(meta, "s"),
+            )
+
+        spec = tuple(P("s") for _ in range(13))
+        out = tuple(P("s") for _ in range(4)) + (P(),)
+        return jax.jit(
+            shard_map(per_device, mesh=mesh, in_specs=spec, out_specs=out)
+        )
+
+    def per_device(
+        packed, exc_pos, exc_val, n_real, seg_bounds, tq_text,
+        subj_seg, subj_start, rs_len, threshold, q_base, q_start, q_len2d,
+    ):
+        sym, isa, rm, mlun, ps, jump, _ = prep(
+            packed, exc_pos, exc_val, n_real, seg_bounds, tq_text,
+            subj_seg, subj_start, threshold,
         )
         counts, _ = replay_rows_device(
             sym, isa, rm, mlun, ps, jump,
@@ -156,6 +221,7 @@ def sharded_block_counts(
     block_subject_infos: list[list[tuple[int, int, int, int]]],
     exact: bool,
     jump_passes: int = 0,
+    model_kind=None,
 ):
     """Run the sharded step over per-device block layouts.
 
@@ -163,8 +229,16 @@ def sharded_block_counts(
     threshold) per local subject of device d.  Returns
     int64[P, L, G, 16] counts with L = max local subjects (padding rows
     zero) and G = query lanes per block (identical across blocks).
+
+    Production path: the anchor-EVENT walk + sampled-PLCP hybrid LCP per
+    device (the same fast paths as the single-chip default); each process
+    host-counts its ADDRESSABLE shards' events and the count tiles are
+    summed across processes.  Overflow (event buffer or capped level
+    stack on pathologically repetitive input) reruns the step with the
+    count-in-loop replay + full-buffer level-walk LCP, which cannot
+    overflow.  ANDIX_SHARDED_REPLAY=loop pins the fallback for A/Bs.
     """
-    from .esa import doubling
+    from .esa import doubling, plcp
     from .esa.backend_jax import bucket, level_budget, packed_text_arrays
 
     n_dev = len(layouts)
@@ -251,26 +325,105 @@ def sharded_block_counts(
             threshold[d, k] = thr
             q_len2d[d, k] = q_len[d]
 
-    fn = _sharded_counts_fn(mesh, B, exact, jump_passes)
     # plain NumPy inputs: jit places each shard on its mesh device directly.
     # (jnp.asarray would commit the whole array to one local device first,
     # which cannot be resharded onto a multi-host mesh — every process
     # builds the same host arrays, the SPMD-standard layout.)
-    counts = fn(
-        np.stack(packs),
-        np.stack(excps),
-        np.stack(excvs),
-        n_reals,
-        seg_bounds,
-        tq_text,
-        subj_seg,
-        subj_start,
-        rs_len,
-        threshold,
-        q_base,
-        q_start,
-        q_len2d,
+    inputs = (
+        np.stack(packs), np.stack(excps), np.stack(excvs), n_reals,
+        seg_bounds, tq_text, subj_seg, subj_start, rs_len, threshold,
+        q_base, q_start, q_len2d,
     )
+
+    # fast-path gates (mirror the single-chip backend): hybrid LCP + wide
+    # initial ranks need the block-text alphabet contract
+    alphabet_ok = all(
+        int(b) in plcp.ALPHABET_U8
+        for l in layouts
+        for b in np.nonzero(np.bincount(l.u8, minlength=256))[0]
+    )
+    base = doubling.wide_base_width(S, alphabet_ok)
+    lcp_mode = "hybrid" if alphabet_ok else "levels"
+    replay = os.environ.get(
+        "ANDIX_SHARDED_REPLAY",
+        os.environ.get("ANDIX_REPLAY", "events"),
+    )
+    if replay == "events" and model_kind is not None:
+        ecap = int(
+            os.environ.get("ANDIX_EVENT_CAP", str(max(1 << 16, QB // 2)))
+        )
+        unroll = int(os.environ.get("ANDIX_PROBE_UNROLL", "4"))
+        fn = _sharded_counts_fn(
+            mesh, B, exact, jump_passes, mode="events",
+            lcp_mode=lcp_mode, base=base, ecap=ecap, unroll=unroll,
+        )
+        out = _host_counts_from_sharded_events(
+            fn(*inputs), mesh, layouts, block_subject_infos,
+            q_len2d.shape[1], gp, model_kind,
+        )
+        if out is not None:
+            return out
+        # overflow somewhere: fall through to the loop replay with the
+        # full level buffer (cannot overflow)
+
+    fn = _sharded_counts_fn(mesh, B, exact, jump_passes, base=base)
+    counts = fn(*inputs)
     return np.asarray(jax.device_get(counts), dtype=np.int64)
+
+
+def _host_counts_from_sharded_events(
+    ev_out, mesh, layouts, block_subject_infos, L, gp, model_kind
+):
+    """Host counting of the sharded events step's outputs.
+
+    Each process fetches only its ADDRESSABLE shards (multi-host: the
+    events of remote devices never cross DCN), counts them with the same
+    host counter as the single-chip path, and the tiny [P, L, G, 16]
+    tiles are summed across processes.  Returns None when any shard
+    overflowed (event buffer or capped level stack)."""
+    from .chain import events as chain_events
+    from .esa.backend_jax import _query_blob
+
+    ev_lane, ev_q, ev_s, ev_len, meta = ev_out
+    n_dev = len(layouts)
+    meta_h = np.asarray(jax.device_get(meta))  # [P, 8] — tiny, replicable
+    if (meta_h[:, 1] != 0).any() or (meta_h[:, 2] != 0).any():
+        return None
+
+    def local_shards(arr):
+        return {
+            s.index[0].start: np.asarray(s.data)[0]
+            for s in arr.addressable_shards
+        }
+
+    lanes_l = local_shards(ev_lane)
+    q_l = local_shards(ev_q)
+    s_l = local_shards(ev_s)
+    len_l = local_shards(ev_len)
+
+    counts = np.zeros((n_dev, L, gp, 16), dtype=np.int64)
+    for d in lanes_l:
+        layout = layouts[d]
+        infos = block_subject_infos[d]
+        cnt = int(meta_h[d, 0])
+        subjects_rs = [
+            layout.u8[start : start + rl] for (_, start, rl, _) in infos
+        ] + [None] * (L - len(infos))
+        thresholds = [thr for (_, _, _, thr) in infos] + [2 ** 29] * (
+            L - len(infos)
+        )
+        _, q_off, blob, _ = _query_blob(layout)
+        q_off_pad = np.full(gp + 1, q_off[-1], dtype=np.int64)
+        q_off_pad[: len(q_off)] = q_off
+        counts[d] = chain_events.group_counts_from_events(
+            lanes_l[d][:cnt], q_l[d][:cnt], s_l[d][:cnt], len_l[d][:cnt],
+            L, gp, subjects_rs, thresholds, blob, q_off_pad, model_kind,
+        )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        stacked = multihost_utils.process_allgather(counts)
+        counts = np.asarray(stacked, dtype=np.int64).sum(axis=0)
+    return counts
 
 

@@ -539,7 +539,9 @@ def _process_sharded(
                 )
             infos.append(block_infos)
 
-        counts = parallel.sharded_block_counts(mesh, layouts, infos, exact)
+        counts = parallel.sharded_block_counts(
+            mesh, layouts, infos, exact, model_kind=ctx.model
+        )
 
         for d, block in enumerate(dev_blocks):
             layout = layouts[d]

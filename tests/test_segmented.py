@@ -166,13 +166,13 @@ class TestFlatKernelUnit:
         lb = 16
         arr = {
             n: np.zeros(lb, np.int32)
-            for n in ("rowoff", "qoff", "qs", "ss", "rl", "thr",
+            for n in ("row", "qoff", "qs", "ss", "rl", "thr",
                       "seg_end", "pos0", "lq0", "ls0", "ll0")
         }
         arr["rl"][:] = 1
         arr["thr"][:] = 1 << 29
         for i, (s, g) in enumerate(lanes):
-            arr["rowoff"][i] = s * qb
+            arr["row"][i] = s
             arr["qoff"][i] = ctx.q_base_h[g]
             arr["qs"][i] = ctx.q_start_h[g]
             arr["ss"][i] = starts[s]
@@ -182,7 +182,7 @@ class TestFlatKernelUnit:
         out = chain_walk_flat(
             ctx.isa_d, ctx.rm, mlun, ps, jump,
             *(jnp.asarray(arr[n]) for n in
-              ("rowoff", "qoff", "qs", "ss", "rl", "thr", "seg_end",
+              ("row", "qoff", "qs", "ss", "rl", "thr", "seg_end",
                "pos0", "lq0", "ls0", "ll0")),
             jnp.int32(1 << 28), jnp.int32(1 << 28), ecap, 12, 4,
         )
