@@ -668,6 +668,9 @@ class JaxBackend:
         mlun, ps, jump = self._build_group_tables(
             ctx, sg, segs, starts, thresholds, jump_passes
         )
+        t0 = _prof(
+            f"subject tables ({len(subject_genomes)} subj)", t0, mlun[0]
+        )
 
         def prof_msg(msg):
             nonlocal t0

@@ -138,6 +138,31 @@ class TestDevicePlan:
                 <= DEVICE_MEM_BYTES
             )
 
+    def test_st131_full_shape_plan(self):
+        """ST131 stretch config (BASELINE.json: 109 x ~1 Mbp): the device
+        plan must chunk queries, pack several subjects per block, and keep
+        every (block, chunk) text bucket inside the HBM budget."""
+        from andix.esa.backend_jax import DEVICE_MEM_BYTES, bucket
+
+        subs = self._subs(109, 1_000_000)
+        bs, mq = pipeline.device_plan(1 << 40, subs)
+        q_total = sum((s.len - 1) // 2 + 1 for s in subs)
+        assert mq < q_total  # queries must chunk at this scale
+        q_base = min(mq, q_total)
+        blocks = pipeline.make_blocks(subs, bs, False, query_base=q_base)
+        assert all(len(b) >= 2 for b in blocks[:-1])
+        for b in blocks:
+            real = q_base + sum(subs[i].len + 1 for i in b)
+            assert (
+                bucket(real) * pipeline.BYTES_PER_PADDED_SYM
+                <= DEVICE_MEM_BYTES
+            )
+        # chunk list covers every genome exactly once
+        chunks = pipeline._query_chunks([], 109, subs, mq)
+        seen = [j for c in chunks for j in c]
+        assert sorted(seen) == list(range(109))
+        assert len(chunks) > 1
+
     def test_small_runs_not_chunked(self):
         subs = self._subs(8, 1_000_000)
         bs, mq = pipeline.device_plan(1 << 27, subs)
