@@ -110,23 +110,34 @@ def prepare_subject_tables(
     return mlun, ps_b, jump
 
 
-@functools.partial(jax.jit, static_argnames=("jump_passes",))
+@functools.partial(
+    jax.jit, static_argnames=("jump_passes", "want_jump")
+)
 def single_subject_tables(
-    sa, lcp, segid, tq, subj_seg, subj_start, threshold, jump_passes: int
+    sa, lcp, segid, tq, subj_seg, subj_start, threshold, jump_passes: int,
+    want_jump: bool = True,
 ):
     """One subject's matchstats + replay tables as its own program: the
     8-wide vmapped build holds [Sg, N] scan intermediates — 18+ GB at
     67M-symbol eco29 blocks — so big blocks build tables subject by
-    subject (peak [1, N]) and stack the [QB] rows."""
+    subject (peak [1, N]) and stack the [QB] rows.  ``want_jump=False``
+    (the segmented walk derives hops from mlun) skips the jump table."""
     from ..esa import matchstats_jax
 
     ml, un, ps = matchstats_jax.match_stats_device(
         sa, lcp, segid, subj_seg, subj_start
     )
-    return prepare_subject_tables(ml, un, ps, tq, threshold, jump_passes)
+    mlun, ps_b, jump = prepare_subject_tables(
+        ml, un, ps, tq, threshold, jump_passes
+    )
+    if not want_jump:
+        return mlun, ps_b
+    return mlun, ps_b, jump
 
 
-@functools.partial(jax.jit, static_argnames=("jump_passes",))
+@functools.partial(
+    jax.jit, static_argnames=("jump_passes", "want_jump")
+)
 def group_subject_tables(
     sa: jax.Array,  # int32[Np]
     lcp: jax.Array,  # int32[Np]
@@ -136,6 +147,7 @@ def group_subject_tables(
     subj_starts: jax.Array,  # int32[Sg]
     thresholds: jax.Array,  # int32[Sg]
     jump_passes: int,
+    want_jump: bool = True,
 ):
     """Matching statistics + replay tables for a whole subject group in one
     dispatch: vmap over subjects batches the flag scans and the jump-table
@@ -147,7 +159,12 @@ def group_subject_tables(
         ml, un, ps = matchstats_jax.match_stats_device(
             sa, lcp, segid, seg, start
         )
-        return prepare_subject_tables(ml, un, ps, tq, thr, jump_passes)
+        mlun, ps_b, jump = prepare_subject_tables(
+            ml, un, ps, tq, thr, jump_passes
+        )
+        if not want_jump:
+            return mlun, ps_b
+        return mlun, ps_b, jump
 
     return jax.vmap(one)(subj_segs, subj_starts, thresholds)
 
@@ -366,7 +383,6 @@ def chain_walk_flat(
     rm,  # rmq.RangeMin over the adjacent-LCP array
     mlun_f,  # int32[Sg, QB] packed blob-order stats
     ps_f,  # int32[Sg, QB]
-    jump_f,  # int32[Sg, QB]
     row,  # int32[Lb] subject table row of the lane
     qoff,  # int32[Lb] lane's q_base within the row blob
     qs,  # int32[Lb] text offset of each lane's query
@@ -428,15 +444,24 @@ def chain_walk_flat(
         gap0 = pos - lq - ll
         took = probe & (gap0 > thr)
 
+        def hop(p):
+            # one step of the pure pos += matchlen + 1 chain, stopping at
+            # anchor candidates — derived from mlun directly (the
+            # materialized jump table of the grid kernels is redundant at
+            # jump_passes=0: same single gather per hop, one third less
+            # table HBM and build time)
+            v = mlun_f[row, qoff + p]
+            ml = v & (UNIQ_BIT - 1)
+            cand = ((v & UNIQ_BIT) != 0) & (ml >= thr)
+            return jnp.where(cand, p, p + ml + 1)
+
         def jump_and_chase(pos):
             safe_q = jnp.where(probe, pos, 0)
-            # jump values are subject-row-blob coordinates: convert back
-            # to lane coordinates with qoff
-            pos_qj = jnp.where(took, jump_f[row, qoff + safe_q] - qoff, pos)
+            pos_qj = jnp.where(took, hop(safe_q), pos)
             for _ in range(chase):
                 can = took & (pos_qj < seg_end)
                 safe_j = jnp.where(can, pos_qj, 0)
-                nxt = jump_f[row, qoff + safe_j] - qoff
+                nxt = hop(safe_j)
                 pos_qj = jnp.where(can & (nxt != pos_qj), nxt, pos_qj)
             return pos_qj
 

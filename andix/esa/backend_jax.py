@@ -590,11 +590,13 @@ class JaxBackend:
         return max(1, min(k, max(max_qlen, 1)))
 
     def _build_group_tables(self, ctx, sg, segs, starts, thresholds,
-                            jump_passes):
-        """[Sg, QB] mlun/ps/jump device tables for a subject group —
+                            jump_passes, want_jump=True):
+        """[Sg, QB] mlun/ps(/jump) device tables for a subject group —
         fused vmapped build for small blocks, per-subject accumulation
         into donated buffers for big ones (the [Sg, N] scan intermediates
-        of the fused build exceed HBM at 67M-symbol blocks)."""
+        of the fused build exceed HBM at 67M-symbol blocks).  The
+        segmented walk derives jump hops from mlun, so it builds with
+        ``want_jump=False`` (one third less table HBM and build)."""
         from ..chain.replay_device import (
             group_subject_tables, single_subject_tables,
         )
@@ -609,25 +611,24 @@ class JaxBackend:
             return group_subject_tables(
                 ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
                 jnp.asarray(segs), jnp.asarray(starts),
-                jnp.asarray(thresholds), jump_passes,
+                jnp.asarray(thresholds), jump_passes, want_jump,
             )
         qb_len = ctx.tq_d.shape[0]
-        mlun = jnp.zeros((sg, qb_len), jnp.int32)
-        ps = jnp.zeros((sg, qb_len), jnp.int32)
-        jump = jnp.zeros((sg, qb_len), jnp.int32)
+        bufs = [
+            jnp.zeros((sg, qb_len), jnp.int32)
+            for _ in range(3 if want_jump else 2)
+        ]
         for k in range(sg):
             if segs[k] < 0:
                 continue
             r = single_subject_tables(
                 ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
                 jnp.int32(segs[k]), jnp.int32(starts[k]),
-                jnp.int32(thresholds[k]), jump_passes,
+                jnp.int32(thresholds[k]), jump_passes, want_jump,
             )
-            mlun = _acc_row(mlun, r[0], k)
-            ps = _acc_row(ps, r[1], k)
-            jump = _acc_row(jump, r[2], k)
+            bufs = [_acc_row(b, row, k) for b, row in zip(bufs, r)]
             del r
-        return mlun, ps, jump
+        return tuple(bufs)
 
     def _subject_group_counts_segmented(
         self, ctx, subject_genomes, subjects, model_kind, seg_k
@@ -665,8 +666,8 @@ class JaxBackend:
         )
 
         t0 = time.time()
-        mlun, ps, jump = self._build_group_tables(
-            ctx, sg, segs, starts, thresholds, jump_passes
+        mlun, ps = self._build_group_tables(
+            ctx, sg, segs, starts, thresholds, jump_passes, want_jump=False
         )
         t0 = _prof(
             f"subject tables ({len(subject_genomes)} subj)", t0, mlun[0]
@@ -679,7 +680,7 @@ class JaxBackend:
         def walk(arr, chunk_iters, maxev):
             lb = arr["row"].shape[0]
             out = chain_walk_flat(
-                ctx.isa_d, ctx.rm, mlun, ps, jump,
+                ctx.isa_d, ctx.rm, mlun, ps,
                 jnp.asarray(arr["row"]), jnp.asarray(arr["qoff"]),
                 jnp.asarray(arr["qs"]),
                 jnp.asarray(arr["ss"]), jnp.asarray(arr["rl"]),
@@ -724,7 +725,7 @@ class JaxBackend:
             ctx.q_base_h, ctx.q_start_h,
             q_len2d, seg_k, ecap, prof,
         )
-        del mlun, ps, jump
+        del mlun, ps
         if res is None:
             return None
         lanes, ev_q, ev_s, ev_len = res

@@ -180,7 +180,7 @@ class TestFlatKernelUnit:
             arr["thr"][i] = thresholds[s]
             arr["seg_end"][i] = q_len2d[s, g]
         out = chain_walk_flat(
-            ctx.isa_d, ctx.rm, mlun, ps, jump,
+            ctx.isa_d, ctx.rm, mlun, ps,
             *(jnp.asarray(arr[n]) for n in
               ("row", "qoff", "qs", "ss", "rl", "thr", "seg_end",
                "pos0", "lq0", "ls0", "ll0")),
