@@ -58,7 +58,11 @@ def flag_scan(values: jax.Array, flags: jax.Array, sa_vals: jax.Array,
     Flagged elements contribute their value to the gap ending at them and
     then reset the running min.  This carries everything the matching
     statistics need in one contiguous pass — no random gathers.  Same
-    two-level evaluation as ``segmented_min_scan``."""
+    two-level evaluation as ``segmented_min_scan``; on TPU the in-chunk
+    scan runs as a Pallas kernel (``_flag_scan_pallas``; ANDIX_FLAG_SCAN
+    forces xla|pallas)."""
+    if _pallas_available():
+        return _flag_scan_pallas(values, flags, sa_vals, chunk)
     n = values.shape[0]
     nb = -(-n // chunk)
     pad = nb * chunk - n
@@ -148,3 +152,196 @@ def segmented_min_scan(values: jax.Array, resets: jax.Array,
 
     out2 = jnp.where(seen2, out2, jnp.minimum(prefix[None, :], out2))
     return out2.T.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flag scan (TPU): the lax.scan evaluation above runs ~1024
+# sequential XLA loop steps per call; the same monoid as a Pallas kernel
+# streams [chunk, TR]-lane tiles through VMEM with the sequential axis on
+# sublanes — per-subject table builds are the top family-scale phase
+# (PERF.md r4), and the two flag scans are its compute half.
+#
+# Two passes (memory-optimal: per-position `pre` never materializes):
+#   pass 1: per-chunk FINAL states only ([nb] x 5, tiny),
+#   XLA:    exclusive associative prefix over chunk finals (nb elements),
+#   pass 2: re-scan each chunk SEEDED with its prefix, emitting the
+#           combined (k, g, sa, suf) per position directly.
+# ---------------------------------------------------------------------------
+
+_TR = 256  # lanes per kernel program (VMEM: ~(3+4) x chunk x TR x 4B)
+
+
+_INF = 2**31 - 1  # plain int: jnp module constants would be captured
+# as implicit pallas kernel inputs, which pallas_call rejects
+
+
+def _fs_step(state, val, fl, sv):
+    """state := combine(state, one element) — _fs_combine specialized to a
+    single right-hand element (k2 = flag, pre2 = val, g2/suf2 = INF)."""
+    k, pre, g, sa_, suf = state
+    has = k > 0
+    fi = fl.astype(jnp.int32)
+    bridge = jnp.minimum(suf, val)
+    k2 = jnp.minimum(k + fi, 2)
+    pre2 = jnp.where(has, pre, jnp.minimum(pre, val))
+    sa2 = jnp.where(fl, sv, sa_)
+    g2 = jnp.where(fl, jnp.where(has, bridge, _INF), g)
+    suf2 = jnp.where(fl, _INF, jnp.where(has, bridge, _INF))
+    return (k2, pre2, g2, sa2, suf2)
+
+
+_PALLAS_OK: bool | None = None
+
+
+def _pallas_available() -> bool:
+    """auto: use the Pallas kernel on TPU if a tiny probe compiles and
+    matches (once per process); the XLA scan remains the fallback and the
+    only path on CPU.  ANDIX_FLAG_SCAN=xla|pallas forces."""
+    import os
+
+    global _PALLAS_OK
+    mode = os.environ.get("ANDIX_FLAG_SCAN", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    if _PALLAS_OK is not None:
+        return _PALLAS_OK
+    try:
+        import jax
+
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            _PALLAS_OK = False
+            return False
+        import numpy as np
+
+        v = jnp.arange(256, dtype=jnp.int32)
+        f = (v % 7) == 0
+        s = v * 2
+        os.environ["ANDIX_FLAG_SCAN"] = "xla"
+        try:
+            want = flag_scan(v, f, s, 64)
+        finally:
+            os.environ["ANDIX_FLAG_SCAN"] = mode
+        got = _flag_scan_pallas(v, f, s, 64)
+        _PALLAS_OK = all(
+            bool((np.asarray(a) == np.asarray(b)).all())
+            for a, b in zip(want, got)
+        )
+    except Exception:  # pallas unsupported on this backend
+        _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _flag_scan_pallas(values, flags, sa_vals, chunk: int = 1024,
+                      interpret: bool = False):
+    """Pallas evaluation of ``flag_scan`` (identical outputs)."""
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = pltpu.VMEM
+    except ImportError:  # pragma: no cover
+        vmem = None
+
+    n = values.shape[0]
+    nb = -(-n // chunk)
+    # lane padding so nb divides _TR
+    nbp = -(-nb // _TR) * _TR
+    padn = nbp * chunk - n
+    v = jnp.concatenate([values.astype(jnp.int32), jnp.full(padn, INF32)])
+    fl = jnp.concatenate([flags.astype(bool), jnp.zeros(padn, bool)])
+    sv = jnp.concatenate(
+        [sa_vals.astype(jnp.int32), jnp.full(padn, jnp.int32(-1))]
+    )
+    # [chunk, nbp]: sequential axis on sublanes, lanes = chunk ids
+    v2 = v.reshape(nbp, chunk).T
+    f2 = fl.reshape(nbp, chunk).T
+    s2 = sv.reshape(nbp, chunk).T
+
+    def spec(block, imap):
+        if vmem is None:
+            return pl.BlockSpec(block, imap)
+        return pl.BlockSpec(block, imap, memory_space=vmem)
+
+    in_specs = [
+        spec((chunk, _TR), lambda i: (0, i)),
+        spec((chunk, _TR), lambda i: (0, i)),
+        spec((chunk, _TR), lambda i: (0, i)),
+    ]
+
+    def finals_kernel(v_ref, f_ref, s_ref, k_o, p_o, g_o, sa_o, su_o):
+        def body(j, st):
+            return _fs_step(st, v_ref[j, :], f_ref[j, :], s_ref[j, :])
+
+        z = jnp.zeros(_TR, jnp.int32)
+        init = (z, jnp.full(_TR, _INF, jnp.int32),
+                jnp.full(_TR, _INF, jnp.int32),
+                jnp.full(_TR, -1, jnp.int32),
+                jnp.full(_TR, _INF, jnp.int32))
+        k, pre, g, sa_, suf = jax.lax.fori_loop(0, chunk, body, init)
+        k_o[0, :] = k
+        p_o[0, :] = pre
+        g_o[0, :] = g
+        sa_o[0, :] = sa_
+        su_o[0, :] = suf
+
+    nt = nbp // _TR
+    fshape = jax.ShapeDtypeStruct((nt, _TR), jnp.int32)
+    finals = pl.pallas_call(
+        finals_kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=tuple(
+            spec((1, _TR), lambda i: (i, 0)) for _ in range(5)
+        ),
+        out_shape=(fshape,) * 5,
+        interpret=interpret,
+    )(v2, f2, s2)
+    fin = tuple(x.reshape(-1) for x in finals)  # [nbp] x 5
+
+    # exclusive prefix over chunk finals (lane axis), tiny
+    inc = jax.lax.associative_scan(_fs_combine, fin)
+    prefix = tuple(
+        jnp.concatenate([i0[None], x[:-1]])
+        for i0, x in zip(
+            (jnp.int32(0), INF32, INF32, jnp.int32(-1), INF32), inc
+        )
+    )
+    pre2d = tuple(p.reshape(nt, _TR) for p in prefix)
+
+    def seeded_kernel(pk, pp, pg, psa, psu, v_ref, f_ref, s_ref,
+                      k_o, g_o, sa_o, su_o):
+        def body(j, st):
+            st = _fs_step(st, v_ref[j, :], f_ref[j, :], s_ref[j, :])
+            k, pre, g, sa_, suf = st
+            k_o[j, :] = k
+            g_o[j, :] = g
+            sa_o[j, :] = sa_
+            su_o[j, :] = suf
+            return st
+
+        init = (pk[0, :], pp[0, :], pg[0, :], psa[0, :], psu[0, :])
+        jax.lax.fori_loop(0, chunk, body, init)
+
+    oshape = jax.ShapeDtypeStruct((chunk, nbp), jnp.int32)
+    outs = pl.pallas_call(
+        seeded_kernel,
+        grid=(nt,),
+        in_specs=[
+            spec((1, _TR), lambda i: (i, 0)) for _ in range(5)
+        ] + in_specs,
+        out_specs=tuple(
+            spec((chunk, _TR), lambda i: (0, i)) for _ in range(4)
+        ),
+        out_shape=(oshape,) * 4,
+        interpret=interpret,
+    )(*pre2d, v2, f2, s2)
+
+    def back(x):
+        return x.T.reshape(-1)[:n]
+
+    k, g, sa_, suf = outs
+    return back(k), back(g), back(sa_), back(suf)

@@ -367,3 +367,54 @@ class TestJaxPipeline:
             seqs, ctx, JaxBackend(), block_syms=2500
         )
         assert self._grids_equal(M_one, M_blk, 5)
+
+
+class TestPallasFlagScan:
+    """Pallas evaluation of the flag-scan monoid (andix/esa/scans.py):
+    the in-chunk lax.scan replaced by a two-pass streaming kernel — per-
+    subject table builds are the top family-scale phase (PERF.md r4)."""
+
+    def test_interpret_equals_xla(self, rng):
+        import jax.numpy as jnp
+
+        from andix.esa import scans
+
+        for n, chunk in [(5000, 1024), (1024, 1024), (70001, 1024),
+                         (333, 64), (64, 64)]:
+            vals = rng.integers(0, 100, n).astype(np.int32)
+            flags = rng.random(n) < 0.1
+            sa = rng.integers(0, n, n).astype(np.int32)
+            ref = scans.flag_scan(
+                jnp.asarray(vals), jnp.asarray(flags), jnp.asarray(sa),
+                chunk,
+            )
+            got = scans._flag_scan_pallas(
+                jnp.asarray(vals), jnp.asarray(flags), jnp.asarray(sa),
+                chunk, interpret=True,
+            )
+            for a, b in zip(ref, got):
+                assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_all_flagged_and_none_flagged(self, rng):
+        import jax.numpy as jnp
+
+        from andix.esa import scans
+
+        n = 3000
+        vals = rng.integers(0, 50, n).astype(np.int32)
+        sa = np.arange(n, dtype=np.int32)
+        for flags in (np.ones(n, bool), np.zeros(n, bool)):
+            ref = scans.flag_scan(
+                jnp.asarray(vals), jnp.asarray(flags), jnp.asarray(sa)
+            )
+            got = scans._flag_scan_pallas(
+                jnp.asarray(vals), jnp.asarray(flags), jnp.asarray(sa),
+                interpret=True,
+            )
+            for a, b in zip(ref, got):
+                assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_cpu_auto_stays_on_xla(self):
+        from andix.esa import scans
+
+        assert scans._pallas_available() is False
