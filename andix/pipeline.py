@@ -104,7 +104,14 @@ def make_blocks(
     return blocks
 
 
-BYTES_PER_PADDED_SYM = 160  # see device_plan docstring
+# Measured-envelope HBM budget per PADDED block symbol (see device_plan
+# docstring).  r3 calibrated 160 with jump tables + narrow initial ranks;
+# r4 removed the segmented path's jump table and two rank levels, and an
+# empirical 100.7M-symbol block run survives at 128 (OOM_PROBE_r04) —
+# which flips eco29-scale plans from 3-subject to 5-subject blocks and
+# halves the number of query-chunked SA builds (the dominant eco29 phase,
+# ECO29_r04_n29.json).  ANDIX_BYTES_PER_SYM overrides for probing.
+BYTES_PER_PADDED_SYM = int(os.environ.get("ANDIX_BYTES_PER_SYM", "128"))
 
 
 def device_plan(

@@ -414,7 +414,12 @@ class TestPallasFlagScan:
             for a, b in zip(ref, got):
                 assert (np.asarray(a) == np.asarray(b)).all()
 
-    def test_cpu_auto_stays_on_xla(self):
+    def test_default_stays_on_xla(self, monkeypatch):
+        """Measured at parity on TPU (53 vs 55 ms at 25M, PERF.md r4):
+        XLA is the default; ANDIX_FLAG_SCAN=pallas is the A/B switch."""
         from andix.esa import scans
 
+        monkeypatch.delenv("ANDIX_FLAG_SCAN", raising=False)
         assert scans._pallas_available() is False
+        monkeypatch.setenv("ANDIX_FLAG_SCAN", "pallas")
+        assert scans._pallas_available() is True
