@@ -485,7 +485,16 @@ class JaxBackend:
             lcp_d=lcp_d,
             segid_d=segid_d,
             tq_d=tq_d,
-            text_d=sym_d,
+            # the event paths never touch the text on device (host counts
+            # from host bytes); keep it only for the loop fallback, which
+            # rebuilds it on demand — at a 100M-symbol block the 0.4 GB
+            # matters for the RMQ/tables peak
+            text_d=(
+                sym_d
+                if __import__("os").environ.get("ANDIX_REPLAY", "events")
+                != "events"
+                else None
+            ),
             isa_d=isa_d,
             rm=rm,
             q_start_d=jnp.asarray(q_start),
@@ -960,6 +969,10 @@ class JaxBackend:
         exact = model_kind in (Model.LOGDET, Model.ANI)
         import time
 
+        if ctx.text_d is None:
+            # events-mode block context dropped the device text; the loop
+            # fallback rebuilds it from the layout (rare: event overflow)
+            ctx.text_d = device_text(ctx.layout, ctx.sa_d.shape[0])
         t0 = time.time()
         counts, iters = subject_group_counts_device(
             ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,

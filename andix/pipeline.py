@@ -105,13 +105,17 @@ def make_blocks(
 
 
 # Measured-envelope HBM budget per PADDED block symbol (see device_plan
-# docstring).  r3 calibrated 160 with jump tables + narrow initial ranks;
-# r4 removed the segmented path's jump table and two rank levels, and an
-# empirical 100.7M-symbol block run survives at 128 (OOM_PROBE_r04) —
-# which flips eco29-scale plans from 3-subject to 5-subject blocks and
-# halves the number of query-chunked SA builds (the dominant eco29 phase,
-# ECO29_r04_n29.json).  ANDIX_BYTES_PER_SYM overrides for probing.
-BYTES_PER_PADDED_SYM = int(os.environ.get("ANDIX_BYTES_PER_SYM", "128"))
+# docstring).  r3 calibrated 160 empirically (eco29 n=8 OOM).  r4 probed
+# 128 twice at a 100.7M-symbol block (after removing the segmented
+# path's jump table, two rank levels, and the events-mode device text):
+# both probes passed the SA+LCP dispatch and then exhausted HBM in the
+# block-tables/RMQ program — the bucket ladder makes 128 the only step
+# below 160, so 160 stays.  Getting under it flips eco29-scale plans
+# from 3-subject to 5-subject blocks and halves the query-chunked SA
+# builds that dominate the end-to-end run (ECO29_r04_n29.json); the
+# remaining candidates are the RMQ tsm rows (12 B/sym) and splitting
+# the block-tables program.  ANDIX_BYTES_PER_SYM overrides for probing.
+BYTES_PER_PADDED_SYM = int(os.environ.get("ANDIX_BYTES_PER_SYM", "160"))
 
 
 def device_plan(
