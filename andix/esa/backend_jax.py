@@ -174,14 +174,26 @@ def _acc_row(buf, row, k):
 
 @functools.partial(jax.jit, static_argnames=("qb",))
 def _block_tables(sa, lcp, seg_bounds, q_start, q_off_pad, qb):
-    """Fused per-block table build (segid + ISA + query SA slots + RMQ):
-    one dispatch instead of four — dispatch latency is seconds on degraded
-    tunneled links."""
+    """Fused per-block table build (segid + ISA + query SA slots): one
+    dispatch instead of three — dispatch latency is seconds on degraded
+    tunneled links.  The RMQ builds as its own program
+    (``_block_rmq``) so its transients do not co-peak with these."""
     segid = _device_segid(sa, seg_bounds)
     isa = matchstats_jax.inverse_sa_device(sa)
     tq = _device_tq(isa, q_start, q_off_pad, qb)
-    rm = rmq.build(lcp)
-    return segid, isa, tq, rm
+    return segid, isa, tq
+
+
+# blocks above this many padded symbols drop the RMQ's element-span rows
+# (12 B/symbol; same-fine-block LCE queries fall back to a masked 8-min)
+_RMQ_SMALL_MAX = int(
+    __import__("os").environ.get("ANDIX_RMQ_SMALL_MAX", str(48 << 20))
+)
+
+
+@functools.partial(jax.jit, static_argnames=("small_spans",))
+def _block_rmq(lcp, small_spans: bool):
+    return rmq.build(lcp, small_spans)
 
 
 @functools.partial(jax.jit, static_argnames=("qb",))
@@ -462,11 +474,12 @@ class JaxBackend:
         # last segment, never matching any subject), ISA, query SA slots,
         # and the range-min structure — one dispatch
         qb = bucket(max(int(q_off[-1]), 1))
-        segid_d, isa_d, tq_d, rm = _block_tables(
+        segid_d, isa_d, tq_d = _block_tables(
             sa_d, lcp_d,
             jnp.asarray(layout.seg_start[1:].astype(np.int32)),
             jnp.asarray(q_start), jnp.asarray(q_off_pad), qb,
         )
+        rm = _block_rmq(lcp_d, padded_n <= _RMQ_SMALL_MAX)
         t0 = _prof("block tables (segid+isa+tq+rmq)", t0, tq_d)
         blob = (
             np.concatenate(

@@ -39,7 +39,10 @@ class RangeMin:
     prefg: jax.Array  # int32[nf] min over fine mins [group_start..c]
     suffg: jax.Array  # int32[nf] min over fine mins [c..group_end]
     tg: jax.Array  # int32[Lg, ng] full sparse table over group mins
-    tsm: jax.Array  # int32[3, Np] element spans 1/2/4 (same-block queries)
+    # element spans 1/2/4 for same-fine-block queries; None at huge
+    # blocks (12 B/symbol of HBM) — those fall back to the unrolled
+    # masked 8-way min over ``values``
+    tsm: "jax.Array | None"
 
     def tree_flatten(self):
         return (
@@ -60,8 +63,8 @@ def _pad_to(x, m, fill):
     return x
 
 
-@jax.jit
-def build(values: jax.Array) -> RangeMin:
+@functools.partial(jax.jit, static_argnames=("small_spans",))
+def build(values: jax.Array, small_spans: bool = True) -> RangeMin:
     v = _pad_to(values.astype(jnp.int32), FINE * GROUP, INF)
     npad = v.shape[0]
     nf = npad // FINE
@@ -99,9 +102,12 @@ def build(values: jax.Array) -> RangeMin:
     # (span <= 8) is min(tsm[k][lo], tsm[k][hi-2^k+1]) with
     # k = min(ilog2(span), 2) — two gathers instead of an unrolled
     # eight-way masked min (the replay's LCE calls this per iteration)
-    e2 = jnp.minimum(v, jnp.concatenate([v[1:], jnp.full(1, INF)]))
-    e4 = jnp.minimum(e2, jnp.concatenate([e2[2:], jnp.full(2, INF)]))
-    tsm = jnp.stack([v, e2, e4])
+    if small_spans:
+        e2 = jnp.minimum(v, jnp.concatenate([v[1:], jnp.full(1, INF)]))
+        e4 = jnp.minimum(e2, jnp.concatenate([e2[2:], jnp.full(2, INF)]))
+        tsm = jnp.stack([v, e2, e4])
+    else:
+        tsm = None
 
     return RangeMin(v, pref8, suff8, t8, prefg, suffg, tg, tsm)
 
@@ -129,8 +135,15 @@ def range_min(rm: RangeMin, lo, hi):
     f2 = his // FINE
     is_same = f1 == f2
 
-    # same fine block: two overlapping element-span windows
+    # same fine block: two overlapping element-span windows, or — when
+    # the tsm rows were dropped to save HBM — an unrolled masked 8-min
     def same_path():
+        if rm.tsm is None:
+            out = rm.values[los]
+            for d in range(1, FINE):
+                idx = jnp.minimum(los + d, his)
+                out = jnp.minimum(out, rm.values[idx])
+            return out
         sspan = his - los + 1
         ks = jnp.minimum(_ilog2(sspan), 2)
         ws = (1 << ks).astype(jnp.int32)

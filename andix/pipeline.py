@@ -105,17 +105,19 @@ def make_blocks(
 
 
 # Measured-envelope HBM budget per PADDED block symbol (see device_plan
-# docstring).  r3 calibrated 160 empirically (eco29 n=8 OOM).  r4 probed
-# 128 twice at a 100.7M-symbol block (after removing the segmented
-# path's jump table, two rank levels, and the events-mode device text):
-# both probes passed the SA+LCP dispatch and then exhausted HBM in the
-# block-tables/RMQ program — the bucket ladder makes 128 the only step
-# below 160, so 160 stays.  Getting under it flips eco29-scale plans
-# from 3-subject to 5-subject blocks and halves the query-chunked SA
-# builds that dominate the end-to-end run (ECO29_r04_n29.json); the
-# remaining candidates are the RMQ tsm rows (12 B/sym) and splitting
-# the block-tables program.  ANDIX_BYTES_PER_SYM overrides for probing.
-BYTES_PER_PADDED_SYM = int(os.environ.get("ANDIX_BYTES_PER_SYM", "160"))
+# docstring).  r3 calibrated 160 empirically (eco29 n=8 OOM).  r4 got it
+# to 128 in four steps, each probed at a 100.7M-symbol block on-chip:
+# the segmented path's jump table (derived from mlun instead), two rank
+# levels (wide initial ranks), the events-mode device text (rebuilt on
+# demand by the loop fallback), and the RMQ element-span rows at huge
+# blocks (masked 8-min fallback; backend _RMQ_SMALL_MAX) with the RMQ
+# built as its own program so its transients do not co-peak with the
+# block tables.  Result: 8 x 5 Mbp runs in TWO blocks (6+2 subjects)
+# instead of four, and eco29-scale plans go from 3-subject x 4-chunk
+# (50 SA builds) to 5-subject x 3-chunk (18 builds) on the phase that
+# dominates the end-to-end run (ECO29_r04_n29.json).
+# ANDIX_BYTES_PER_SYM overrides for probing.
+BYTES_PER_PADDED_SYM = int(os.environ.get("ANDIX_BYTES_PER_SYM", "128"))
 
 
 def device_plan(

@@ -12,11 +12,19 @@ def brute(vals, lo, hi):
     return int(vals[lo : hi + 1].min())
 
 
+import pytest
+
+
 class TestRangeMin:
-    def test_exhaustive_small(self, rng):
+    @pytest.mark.parametrize("small_spans", [True, False])
+    def test_exhaustive_small(self, rng, small_spans):
+        """Both variants: with the tsm element-span rows, and the
+        huge-block build that drops them (same-fine-block queries via
+        the masked 8-min fallback)."""
         n = 200
         vals = rng.integers(0, 50, n).astype(np.int32)
-        rm = rmq.build(jnp.asarray(vals))
+        rm = rmq.build(jnp.asarray(vals), small_spans)
+        assert (rm.tsm is None) == (not small_spans)
         los, his = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
         los, his = los.ravel(), his.ravel()
         got = np.asarray(rmq.range_min(rm, jnp.asarray(los), jnp.asarray(his)))
