@@ -27,10 +27,11 @@ enters the loop (it measured ~870 us/iteration, MICROBENCH_REPLAY.json).
 
 FALLBACK / A-B path — ``replay_rows_device``: the original count-in-loop
 replay (gap/equal chunks processed on device); used when the event buffer
-overflows, for ANDIX_REPLAY=loop A/Bs, and by the shard_map multi-chip
-step (events-fetch plumbing across processes is not wired there yet).
-The native C++ replay (``andix.native``) remains as host fallback and
-cross-check oracle.
+overflows and for ANDIX_REPLAY=loop A/Bs.  The shard_map multi-chip step
+runs the anchor-event path too (``parallel.py`` fetches per-device events
+from addressable shards and host-counts them; its loop fallback covers
+overflow / ANDIX_SHARDED_REPLAY=loop).  The native C++ replay
+(``andix.native``) remains as host fallback and cross-check oracle.
 """
 
 from __future__ import annotations

@@ -428,7 +428,17 @@ def segmented_group_anchors(
         if all_done:
             break
         guard += 1
-        assert guard <= 4 * k + 8, "segmented resolve failed to converge"
+        if guard > 4 * k + 8:
+            # input-dependent worst case (resolve refuses to converge):
+            # fail SOFT like the event-overflow path — the caller falls
+            # back to the unsegmented walk, which is always correct
+            print(
+                "andix: segmented chain resolve did not converge after "
+                f"{guard - 1} rounds; falling back to the unsegmented "
+                "walk.",
+                file=__import__("sys").stderr,
+            )
+            return None
         res = sw.run_requests(requests)
         if sw.overflow:
             return None

@@ -43,7 +43,6 @@ def _fs_combine(a, b):
     return (k, pre, g, sa_, suf)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
 def flag_scan(values: jax.Array, flags: jax.Array, sa_vals: jax.Array,
               chunk: int = 1024):
     """Inclusive scan of the flag-window monoid: per position returns
@@ -58,11 +57,25 @@ def flag_scan(values: jax.Array, flags: jax.Array, sa_vals: jax.Array,
     Flagged elements contribute their value to the gap ending at them and
     then reset the running min.  This carries everything the matching
     statistics need in one contiguous pass — no random gathers.  Same
-    two-level evaluation as ``segmented_min_scan``; on TPU the in-chunk
-    scan runs as a Pallas kernel (``_flag_scan_pallas``; ANDIX_FLAG_SCAN
-    forces xla|pallas)."""
+    two-level evaluation as ``segmented_min_scan``.  A plain (un-jitted)
+    wrapper so the ANDIX_FLAG_SCAN A/B switch is honored at CALL time —
+    reading it inside a jitted body would pin the first-traced mode per
+    shape (ADVICE r4); both implementations are jitted separately and
+    produce identical outputs (measured at parity on TPU, PERF.md r4)."""
     if _pallas_available():
-        return _flag_scan_pallas(values, flags, sa_vals, chunk)
+        # CPU backends only run Pallas in interpret mode — keep the A/B
+        # switch usable (if slow) off-TPU instead of crashing
+        interpret = jax.default_backend() != "tpu"
+        return _flag_scan_pallas(
+            values, flags, sa_vals, chunk, interpret=interpret
+        )
+    return _flag_scan_xla(values, flags, sa_vals, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _flag_scan_xla(values: jax.Array, flags: jax.Array, sa_vals: jax.Array,
+                   chunk: int = 1024):
+    """XLA two-level evaluation of ``flag_scan`` (the default)."""
     n = values.shape[0]
     nb = -(-n // chunk)
     pad = nb * chunk - n
