@@ -438,6 +438,22 @@ def calculate_matrix(
     if not todo:
         return M
 
+    if (
+        getattr(backend, "device_replay", False)
+        and os.environ.get("ANDIX_INDEX", "joint") == "subject"
+    ):
+        # subject-only index schedule (one index per subject, queries
+        # streamed — reference architecture, src/dist_hack.h:64): rows it
+        # cannot finish (event overflow after escalation) fall through to
+        # the joint-SA paths below
+        from .subject_pipeline import process_subject_index
+
+        todo = process_subject_index(
+            todo, seqs, subjects, ctx, M, progress, ckpt
+        )
+        if not todo:
+            return M
+
     devices = []
     if getattr(backend, "device_replay", False):
         import jax

@@ -1,0 +1,357 @@
+"""Subject-only index schedule: build each subject's index ONCE, stream
+every query through the search-in-the-loop chain walk.
+
+This is the TPU-native equivalent of the reference's actual architecture —
+one ESA per subject, queries streamed against the static index
+(src/esa.c:254-277, src/dist_hack.h:64-68) — replacing the joint-SA block
+schedule for the compute-heavy family-scale configs:
+
+* query text is NEVER sorted (the joint path re-sorted ~2/3 text per
+  query chunk — 57% of eco29, ECO29_r04_n29.json),
+* each subject's SA+LCP is built exactly once per run (the joint path
+  rebuilt subjects once per block x chunk),
+* per-subject [Sg, QB] stats tables disappear — queries live on device
+  only as 4-bit packed words.
+
+Subjects are grouped so the group's resident index (SA + LCP + words +
+k-mer caches) plus one build's transients fit HBM; each group walks ALL
+(subject, query) pairs via the segmented driver (``chain.segmented``,
+exact splicing) over ``chain.walk_sx.chain_walk_flat_sx``, and the 16-cell
+counts come from the same host event counting as the joint path
+(``chain.events``) — output is bit-identical across schedules (tested).
+
+Event-buffer overflow escalates ecap twice, then the group falls back to
+the joint-SA path (the caller reprocesses returned leftovers).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from .chain import events as chain_events
+from .chain import segmented
+from .model import CountMatrix
+from .runtime import Context
+
+# resident bytes per padded index symbol: SA 4 + LCP 4 + words 0.5 + slack
+IDX_BYTES_PER_SYM = float(os.environ.get("ANDIX_IDX_BYTES", "10"))
+CACHE_BUDGET = int(
+    float(os.environ.get("ANDIX_CACHE_BUDGET_GB", "2")) * 2**30
+)
+
+
+def _prof(label: str, t0: float, sync=None) -> float:
+    from .esa.backend_jax import _prof as bprof
+
+    return bprof(label, t0, sync)
+
+
+def plan_groups(subjects, todo, low_memory: bool) -> list[list[int]]:
+    """Pack subject indices into groups whose resident index + one build's
+    transients fit the device budget."""
+    from .esa.backend_jax import DEVICE_MEM_BYTES, bucket
+    from .pipeline import BYTES_PER_PADDED_SYM
+
+    if low_memory:
+        return [[i] for i in todo]
+    budget = DEVICE_MEM_BYTES
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0.0
+    for i in todo:
+        bp = bucket(subjects[i].len * 2 + 2)
+        need = bp * IDX_BYTES_PER_SYM
+        build_peak = bp * BYTES_PER_PADDED_SYM
+        if cur and cur_bytes + need + build_peak + CACHE_BUDGET > budget:
+            groups.append(cur)
+            cur = []
+            cur_bytes = 0.0
+        cur.append(i)
+        cur_bytes += need
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _build_query_blob(seqs, n):
+    """(raw blob, q_off int64[n+1], sentinel blob symbol offsets
+    qw_base int32[n], packed query words on device)."""
+    import jax.numpy as jnp
+
+    from .esa import subject_index
+
+    q_off = np.zeros(n + 1, dtype=np.int64)
+    qw_base = np.zeros(n, dtype=np.int32)
+    parts = []
+    pos = 0
+    for g in range(n):
+        data = seqs[g].data
+        q_off[g + 1] = q_off[g] + len(data)
+        qw_base[g] = pos
+        parts.append(np.asarray(data, dtype=np.uint8))
+        parts.append(np.zeros(1, np.uint8))  # sentinel
+        pos += len(data) + 1
+    blob2 = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    pad = (-len(blob2)) % 16 + 16
+    blob2 = np.concatenate([blob2, np.zeros(pad, np.uint8)])
+    qw = subject_index.device_pack_words(jnp.asarray(blob2.astype(np.int32)))
+    raw = np.concatenate(
+        [np.asarray(seqs[g].data, dtype=np.uint8) for g in range(n)]
+    ) if n else np.zeros(0, np.uint8)
+    return raw, q_off, qw_base, qw
+
+
+def _build_group_index(group, subjects, cache_k, threads):
+    """Stacked device index for one subject group: (sa2, lcp2, sw, cache2,
+    nreal[S], Lp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import native
+    from .esa import doubling, joint, subject_index
+    from .esa import sa_numpy
+    from .esa.backend_jax import (
+        _acc_row, bucket, device_text, level_budget, pad_symbols,
+    )
+    from .esa import plcp as _plcp_mod
+
+    sg = len(group)
+    Lp = max(bucket(subjects[i].len * 2 + 2) for i in group)
+    sa2 = jnp.zeros((sg, Lp), jnp.int32)
+    lcp2 = jnp.zeros((sg, Lp), jnp.int32)
+    sw = jnp.zeros((sg, Lp // 16), jnp.int64)
+    nk = (1 << (2 * cache_k)) + 1
+    cache2 = jnp.zeros((sg, nk), jnp.int32)
+    nreal = np.zeros(sg, dtype=np.int32)
+
+    budget = level_budget(Lp)
+    for k, i in enumerate(group):
+        rs = subjects[i].rs
+        layout = joint.build_block({i: rs}, {})
+        n_real = layout.n
+        nreal[k] = n_real
+        sym_d = device_text(layout, Lp)
+        present = np.nonzero(np.bincount(layout.u8, minlength=256))[0]
+        alphabet_ok = all(
+            int(b) in _plcp_mod.ALPHABET_U8 for b in present
+        )
+        lcp_mode = "levels"
+        env_mode = os.environ.get("ANDIX_LCP", "hybrid")
+        if alphabet_ok and env_mode in ("plcp", "hybrid"):
+            lcp_mode = env_mode
+        base_width = doubling.wide_base_width(1, alphabet_ok)
+        sa_d, lcp_d, ovf_d, may_ovf = doubling.sa_lcp_device(
+            sym_d, packed=True, max_levels=budget,
+            lcp_mode=lcp_mode, base_width=base_width,
+        )
+        if may_ovf and bool(np.asarray(jax.device_get(ovf_d))):
+            # pathologically repetitive input: SA exact, LCP invalid —
+            # host Φ fallback (same contract as the joint backend)
+            sa_h = np.asarray(jax.device_get(sa_d))
+            padded = pad_symbols(layout.sym, Lp)
+            if native.available():
+                lcp_h = native.lcp_from_sa(padded, sa_h, threads)
+            else:  # pragma: no cover - toolchain-less fallback
+                lcp_h = sa_numpy.lcp_array(padded, sa_h)
+            lcp_d = jnp.asarray(lcp_h.astype(np.int32))
+        codes_d = subject_index.device_order_codes(sym_d)
+        words = subject_index._device_pack_words(codes_d)
+        cache = subject_index.build_cache_device(
+            codes_d, jnp.int32(n_real), cache_k
+        )
+        sa2 = _acc_row(sa2, sa_d, k)
+        lcp2 = _acc_row(lcp2, lcp_d, k)
+        sw = _acc_row(sw, words, k)
+        cache2 = _acc_row(cache2, cache, k)
+        del sym_d, sa_d, lcp_d, codes_d, words, cache
+    return sa2, lcp2, sw, cache2, nreal, Lp
+
+
+def _chain_segments(max_qlen: int) -> int:
+    env = os.environ.get("ANDIX_CHAIN_SEGMENTS", "auto")
+    if env != "auto":
+        k = int(env)
+    elif max_qlen >= 1 << 19:
+        k = 8
+    elif max_qlen >= 1 << 17:
+        k = 4
+    else:
+        k = 1
+    return max(1, min(k, max(max_qlen, 1)))
+
+
+def process_subject_index(
+    todo: list[int],
+    seqs,
+    subjects,
+    ctx: Context,
+    M,
+    progress,
+    ckpt,
+) -> list[int]:
+    """Run the subject-index schedule for ``todo`` subject rows; returns
+    the rows it could NOT complete (event overflow after escalation) for
+    the caller's joint-path fallback."""
+    import jax.numpy as jnp
+
+    from .chain.walk_sx import chain_walk_flat_sx
+    from .esa import subject_index
+    from .esa.backend_jax import bucket
+
+    n = len(seqs)
+    t0 = time.time()
+    raw_blob, q_off, qw_base, qw = _build_query_blob(seqs, n)
+    t0 = _prof("sx: query words H2D", t0, qw)
+
+    max_len = max(s.len * 2 + 2 for s in subjects)
+    cache_k = int(
+        os.environ.get(
+            "ANDIX_CACHE_K",
+            subject_index.pick_cache_k(max_len, len(todo), CACHE_BUDGET),
+        )
+    )
+    threads = ctx.threads
+    leftovers: list[int] = []
+
+    gp = max(8, -(-n // 8) * 8)
+    q_len_row = np.zeros(gp, dtype=np.int32)
+    qw_base_pad = np.zeros(gp, dtype=np.int32)
+    q_len_row[:n] = (q_off[1:] - q_off[:-1]).astype(np.int32)
+    qw_base_pad[:n] = qw_base
+    q_off_pad = np.full(gp + 1, q_off[-1], dtype=np.int64)
+    q_off_pad[: n + 1] = q_off
+
+    for group in plan_groups(subjects, todo, ctx.low_memory):
+        t0 = time.time()
+        sg = -(-len(group) // 8) * 8
+        sa2, lcp2, sw, cache2, nreal_h, Lp = _build_group_index(
+            group, subjects, cache_k, threads
+        )
+        if sg > len(group):
+            pad_rows = sg - len(group)
+            z = lambda a: jnp.zeros((pad_rows,) + a.shape[1:], a.dtype)
+            sa2 = jnp.concatenate([sa2, z(sa2)])
+            lcp2 = jnp.concatenate([lcp2, z(lcp2)])
+            sw = jnp.concatenate([sw, z(sw)])
+            cache2 = jnp.concatenate([cache2, z(cache2)])
+        nreal = np.ones(sg, dtype=np.int32)
+        nreal[: len(group)] = nreal_h[: len(group)]
+        t0 = _prof(f"sx: index build ({len(group)} subj)", t0, sa2[0])
+
+        rs_lens = np.ones(sg, dtype=np.int32)
+        thresholds = np.full(sg, 2**29, dtype=np.int32)
+        q_len2d = np.zeros((sg, gp), dtype=np.int32)
+        for k, i in enumerate(group):
+            rs_lens[k] = subjects[i].len
+            thresholds[k] = subjects[i].threshold
+            q_len2d[k] = q_len_row
+            q_len2d[k, i] = 0  # diagonal pair skipped
+        nreal_d = jnp.asarray(nreal)
+
+        ecap = int(
+            os.environ.get(
+                "ANDIX_EVENT_CAP",
+                str(max(1 << 16, bucket(int(q_off[-1]) + 1) // 2)),
+            )
+        )
+        seg_k = _chain_segments(int(q_len_row.max()) if n else 0)
+
+        def make_walk(ecap_now):
+            def walk(arr, chunk_iters, maxev):
+                out = chain_walk_flat_sx(
+                    sa2, lcp2, sw, cache2, nreal_d, qw,
+                    jnp.asarray(arr["row"]), jnp.asarray(arr["qs"]),
+                    jnp.asarray(arr["rl"]), jnp.asarray(arr["thr"]),
+                    jnp.asarray(arr["seg_end"]),
+                    jnp.asarray(arr["pos0"]), jnp.asarray(arr["lq0"]),
+                    jnp.asarray(arr["ls0"]), jnp.asarray(arr["ll0"]),
+                    jnp.int32(chunk_iters), jnp.int32(maxev),
+                    cache_k, ecap_now,
+                )
+                return _fetch_walk(out, ecap_now)
+            return walk
+
+        prof = (
+            (lambda msg: _prof("sx: " + msg, time.time()))
+            if os.environ.get("ANDIX_PROF_FILE")
+            else None
+        )
+        res = None
+        ecap_now = ecap
+        for _ in range(3):
+            res = segmented.segmented_group_anchors(
+                make_walk(ecap_now), sg, gp, 0,
+                np.zeros(sg, np.int32), rs_lens, thresholds,
+                qw_base_pad, qw_base_pad, q_len2d, seg_k, ecap_now, prof,
+            )
+            if res is not None:
+                break
+            ecap_now *= 4
+        if res is None:
+            leftovers.extend(group)
+            continue
+        lanes, ev_q, ev_s, ev_len = res
+
+        t0 = time.time()
+        subjects_rs = [subjects[i].rs for i in group] + [None] * (
+            sg - len(group)
+        )
+        counts_h = chain_events.group_counts_from_events(
+            lanes, ev_q, ev_s, ev_len, sg, gp,
+            subjects_rs, thresholds, raw_blob, q_off_pad,
+            ctx.model, threads,
+        )
+        _prof(f"sx: host count from {ev_q.shape[0]} events", t0)
+
+        for k, i in enumerate(group):
+            row = {}
+            for g in range(n):
+                if g == i:
+                    continue
+                seq_len = int(q_off[g + 1] - q_off[g])
+                row[g] = CountMatrix(counts_h[k, g].copy(), seq_len)
+            for g, cm in row.items():
+                M[i][g] = cm
+            if progress is not None:
+                progress.advance(len(row))
+            if ckpt is not None:
+                ckpt.save_row(i, n, row)
+        del sa2, lcp2, sw, cache2
+    return leftovers
+
+
+def _fetch_walk(out, ecap):
+    """Device walk outputs -> the (ev3, state, fin, iters, ovf) tuple the
+    segmented driver consumes (same protocol as the joint backend's
+    walk closure)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .esa.backend_jax import bucket
+
+    (ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters,
+     pos, lq, ls, ll, fin) = out
+    lb = pos.shape[0]
+    meta = (
+        jnp.zeros(lb, jnp.int32)
+        .at[0].set(ev_cnt)
+        .at[1].set(ovf.astype(jnp.int32))
+        .at[2].set(iters)
+    )
+    state_h = np.asarray(jax.device_get(jnp.stack(
+        [pos, lq, ls, ll, fin.astype(jnp.int32), meta]
+    )))
+    cnt = int(state_h[5, 0])
+    ovf_h = bool(state_h[5, 1])
+    iters_h = int(state_h[5, 2])
+    if ovf_h:
+        return (np.zeros((4, 0), np.int32), state_h[:4],
+                state_h[4].astype(bool), iters_h, True)
+    k = min(bucket(max(cnt, 1), minimum=4096), ecap)
+    ev = np.asarray(jax.device_get(jnp.stack(
+        [ev_lane[:k], ev_q[:k], ev_s[:k], ev_len[:k]]
+    )))[:, :cnt]
+    return (ev, state_h[:4], state_h[4].astype(bool), iters_h, False)
