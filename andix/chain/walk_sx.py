@@ -8,22 +8,29 @@ come from a SEEDED BINARY SEARCH in the per-subject suffix array
 * no joint SA over subjects + queries (the 57% eco29 phase), no per-subject
   flag scans, no table HBM — queries exist on device only as 4-bit packed
   words (~1/16 the bytes of the old int32 text),
-* each probe: k-mer code (1 window) -> cache bracket (1 gather) ->
-  1-3 bisect steps (each one SA gather + a word-compare extension) ->
-  two boundary extensions + adjacent-LCP uniqueness gathers.  Typical
-  volume ~10-20 gathered elements per probe vs ~35 for the table path,
-  at ~6-10x the sequential depth per probe (the extensions are lock-step
-  word loops).  Segmentation (``chain.segmented``) divides that depth by K
-  exactly as for the table kernel — this kernel implements the same
-  resumable flat-lane contract, so the segmented driver works unchanged.
 * the lucky-anchor extension (src/process.c:82-100) is the same word-compare
   primitive against the diagonal-projected subject position — the joint-text
   RMQ/LCE is gone.
 
+The loop is a fully ASYNCHRONOUS per-lane state machine: every iteration
+advances every lane by exactly one 16-symbol window compare (or one probe
+bookkeeping step), whatever sub-phase that lane is in — first-window +
+cache seed, lucky extension, bisection compare, left/right boundary
+extension.  There is no per-phase synchronization: a lane deep in a long
+extension churns alone while its neighbors start new probes.  A nested
+per-phase loop design measured 2-3x slower — every sub-loop iteration
+gathers ALL lanes while only its own phase's lanes are active, so the walk
+(gather-volume-bound at >=512 lanes, like the table walk, PERF.md r4) paid
+for each phase's max-over-lanes, not the per-lane sum.  Here total gather
+volume is ~2 B per compared symbol + ~30 B of bookkeeping per probe —
+within ~2x of the text-read floor.
+
 Comparisons never need explicit length caps: the query sentinel (code 0)
 and the subject separator/padding codes are outside each other's alphabets,
 so every compare terminates at the true boundary (see
-``subject_index`` module docstring).
+``subject_index`` module docstring).  Exact-match brackets come from the
+k-mer cache; the bisection tracks (l_lo, l_hi) so compares resume at the
+known-agreement offset (the classical SA search bound).
 """
 
 from __future__ import annotations
@@ -33,16 +40,22 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# probe pipeline phases (per lane)
+P_FIRST = 0  # first window of a probe: cache seed (+ lucky compare)
+P_LUCKY = 1  # continuing the lucky-anchor extension
+P_BIS = 2  # bisection compare vs SA[mid]
+P_AEXT = 3  # left-boundary extension vs SA[ip-1]
+P_BEXT = 4  # right-boundary extension vs SA[ip]
+
 
 def _combine_window(w0, w1, r):
     """16-symbol window starting ``r`` nibbles into w0 (0 <= r <= 15)."""
-    shifted = jnp.where(
+    return jnp.where(
         r > 0,
         (w0 << (4 * r)) | ((w1 >> (4 * (16 - jnp.maximum(r, 1)))) &
                            ((jnp.int64(1) << (4 * jnp.maximum(r, 1))) - 1)),
         w0,
     )
-    return shifted
 
 
 def _word_lcp(wa, wb):
@@ -54,7 +67,7 @@ def _nibble(w, i):
     return ((w >> (4 * (15 - i))) & 15).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cache_k", "ecap"))
+@functools.partial(jax.jit, static_argnames=("cache_k", "ecap", "unroll"))
 def chain_walk_flat_sx(
     sa2,  # int32[S, Lp] per-subject suffix arrays
     lcp2,  # int32[S, Lp] per-subject adjacent LCP
@@ -75,8 +88,12 @@ def chain_walk_flat_sx(
     max_events,  # int32 scalar (traced): per-lane event budget
     cache_k: int,
     ecap: int,
+    unroll: int = 8,
 ):
-    """Resumable flat-lane chain walk chunk (``chain_walk_flat`` contract).
+    """Resumable flat-lane chain walk chunk (``chain_walk_flat`` contract):
+    lanes enter at an arbitrary chain state and stop at ``seg_end`` /
+    their event budget / the chunk iteration budget; lanes cut mid-probe
+    re-enter at the probe start (pos is only advanced at probe ends).
 
     Returns (ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, iters,
     pos, lq, ls, ll, fin)."""
@@ -100,168 +117,222 @@ def chain_walk_flat_sx(
         w1 = sw[row, jnp.minimum(j + 1, lanes_sq - 1)]
         return _combine_window(w0, w1, r)
 
-    def extend(qa, sp, act):
-        """(lcp, q_less): word-ladder compare of query window at absolute
-        symbol qa vs subject window at sp, both clamped safe under ~act.
-        Terminates at the query sentinel / subject separator at the
-        latest (codes outside the other side's alphabet)."""
-        qa = jnp.where(act, qa, 0)
-        sp = jnp.where(act, sp, 0)
+    def lucky_cond(pos, lq, ls, ll, fin):
+        """Reference lucky-anchor precondition (src/process.c:82-100,156):
+        within threshold of the last anchor, projected onto the diagonal."""
+        in_range = (~fin) & (pos < seg_end)
+        advance = pos - lq
+        gap = advance - ll
+        try_s = ls + advance
+        return in_range & (try_s < rl) & (gap >= 0) & (gap <= thr), try_s
 
-        def cond(st):
-            return jnp.any(st[1])
+    def setup_sp(pos, lq, ls, ll, fin):
+        pre, try_s = lucky_cond(pos, lq, ls, ll, fin)
+        return jnp.where(pre, try_s, 0)
 
-        def body(st):
-            h, run, qn, sn = st
-            wq = qwin(qa + h)
-            ws = swin(sp + h)
-            m = _word_lcp(wq, ws)
-            hit = run & (m < 16)
-            mi = jnp.minimum(m, 15)
-            qn = jnp.where(hit, _nibble(wq, mi), qn)
-            sn = jnp.where(hit, _nibble(ws, mi), sn)
-            h = jnp.where(run, h + m, h)
-            run = run & ~hit
-            return h, run, qn, sn
+    def iteration(lanes_state, stage, u):
+        (pos, lq, ls, ll, fin, evn,
+         ph, h, sp, lo, hi, llo, lhi, ipv, aa, pav) = lanes_state
 
-        z = jnp.zeros(lb, jnp.int32)
-        h, _, qn, sn = jax.lax.while_loop(
-            cond, body, (z, act, z, z)
-        )
-        return h, qn < sn
+        act = ~fin
+        qa = qwb + jnp.where(act, pos, 0)
+        sp_s = jnp.where(act, sp, 0)
+        wq = qwin(qa + h)
+        ws = swin(sp_s + h)
+        m = _word_lcp(wq, ws)
+        mi = jnp.minimum(m, 15)
+        qn = _nibble(wq, mi)
+        sn = _nibble(ws, mi)
+        mm = m < 16
 
-    def search(pos, need):
-        """(ml, unique, ps) of each lane's query suffix at lane-relative
-        ``pos`` vs its subject (exact ``subject_index.search_np``
-        semantics)."""
-        qa = qwb + jnp.where(need, pos, 0)
-        win = qwin(qa)
+        # --- P_FIRST: k-mer code + cache bracket (all first lanes) ---
+        is_first = act & (ph == P_FIRST)
         code = jnp.zeros(lb, jnp.int32)
-        valid = need
+        valid = is_first
         for i in range(cache_k):
-            nib = _nibble(win, i)
+            nib = _nibble(wq, i)
             valid = valid & (nib >= 4) & (nib <= 7)
             code = (code << 2) | jnp.clip(nib - 4, 0, 3)
         safe_code = jnp.where(valid, code, 0)
-        lo = jnp.where(valid, cache2[row, safe_code], 0)
-        hi = jnp.where(
-            valid, cache2[row, safe_code + 1], jnp.where(need, nr, 0)
+        clo = cache2[row, safe_code]
+        chi = cache2[row, safe_code + 1]
+        lo = jnp.where(is_first, jnp.where(valid, clo, 0), lo)
+        hi = jnp.where(is_first, jnp.where(valid, chi, nr), hi)
+        llo = jnp.where(is_first, 0, llo)
+        lhi = jnp.where(is_first, 0, lhi)
+
+        lucky_pre, _try_s = lucky_cond(pos, lq, ls, ll, fin)
+        lucky_pre = lucky_pre & is_first
+        in_lucky = (act & (ph == P_LUCKY)) | lucky_pre
+        in_bis = act & (ph == P_BIS)
+        in_a = act & (ph == P_AEXT)
+        in_b = act & (ph == P_BEXT)
+        first_nl = is_first & ~lucky_pre
+
+        comparing = in_lucky | in_bis | in_a | in_b
+        lcp_here = h + m  # total agreement of the current compare
+
+        # --- resolutions (mismatch this iteration) ---
+        l_done = in_lucky & mm
+        l_acc = l_done & (lcp_here >= thr)
+        l_fail = l_done & ~l_acc
+
+        b_done = in_bis & mm
+        mid = (lo + hi) >> 1
+        qless = qn < sn
+        go_hi = b_done & qless
+        go_lo = b_done & ~qless
+        hi = jnp.where(go_hi, mid, hi)
+        lhi = jnp.where(go_hi, lcp_here, lhi)
+        lo = jnp.where(go_lo, mid + 1, lo)
+        llo = jnp.where(go_lo, lcp_here, llo)
+
+        a_done = in_a & mm
+        aa = jnp.where(a_done, lcp_here, aa)
+        bdone2 = in_b & mm
+        bv = jnp.where(bdone2, lcp_here, -1)
+
+        # --- transitions ---
+        enter_search = l_fail | first_nl
+        bis_exit = (enter_search & (lo >= hi)) | (b_done & (lo >= hi))
+        ipv = jnp.where(bis_exit, lo, ipv)
+        to_bis = (enter_search | b_done) & (lo < hi)
+        has_a = ipv > 0
+        has_b = ipv < nr
+        to_a = bis_exit & has_a
+        to_b = (bis_exit & ~has_a & has_b) | (a_done & has_b)
+        aa = jnp.where(bis_exit & ~has_a, -1, aa)
+        finishing = (
+            l_acc
+            | (bis_exit & ~has_a & ~has_b)
+            | (a_done & ~has_b)
+            | bdone2
         )
-        l_lo = jnp.zeros(lb, jnp.int32)
-        l_hi = jnp.zeros(lb, jnp.int32)
 
-        def bcond(st):
-            lo, hi = st[0], st[1]
-            return jnp.any(lo < hi)
-
-        def bbody(st):
-            lo, hi, l_lo, l_hi = st
-            act = lo < hi
-            mid = jnp.where(act, (lo + hi) >> 1, 0)
-            spos = sa2[row, mid]
-            off = jnp.minimum(l_lo, l_hi)
-            rel, q_less = extend(qa + off, spos + off, act)
-            lcpm = off + rel
-            go_hi = act & q_less
-            go_lo = act & ~q_less
-            hi = jnp.where(go_hi, mid, hi)
-            l_hi = jnp.where(go_hi, lcpm, l_hi)
-            lo = jnp.where(go_lo, mid + 1, lo)
-            l_lo = jnp.where(go_lo, lcpm, l_lo)
-            return lo, hi, l_lo, l_hi
-
-        lo, hi, l_lo, l_hi = jax.lax.while_loop(
-            bcond, bbody, (lo, hi, l_lo, l_hi)
+        # one transition gather serves BIS-next-mid / A-entry / B-entry
+        mid2 = (lo + hi) >> 1
+        tg_idx = jnp.where(
+            to_bis,
+            mid2,
+            jnp.where(to_a, ipv - 1, jnp.where(to_b, ipv, 0)),
         )
-        ip = lo
-        has_a = need & (ip > 0)
-        has_b = need & (ip < nr)
-        pa = sa2[row, jnp.maximum(ip - 1, 0)]
-        pb = sa2[row, jnp.where(has_b, ip, 0)]
-        a_rel, _ = extend(qa + l_lo, pa + l_lo, has_a)
-        b_rel, _ = extend(qa + l_hi, pb + l_hi, has_b)
-        a = jnp.where(has_a, l_lo + a_rel, -1)
-        b = jnp.where(has_b, l_hi + b_rel, -1)
-        ml = jnp.maximum(jnp.maximum(a, b), 0)
-        use_a = a >= b
-        sec_a = lcp2[row, jnp.maximum(ip - 1, 0)] < a
-        ip1 = jnp.where(need & (ip + 1 < nr), ip + 1, 0)
-        sec_b = (ip + 1 >= nr) | (lcp2[row, ip1] < b)
+        tg = sa2[row, tg_idx]
+        pav = jnp.where(to_a, tg, pav)
+
+        # --- FINAL: (ml, unique, ps), chain update, next-probe setup ---
+        pa_val = jnp.where(a_done, sp, pav)
+        pb_val = sp  # only consumed on the bdone2 path
+        ml = jnp.maximum(jnp.maximum(aa, bv), 0)
+        use_a = aa >= bv
+        lcpA = lcp2[row, jnp.maximum(ipv - 1, 0)]
+        ip1s = jnp.where(ipv + 1 < nr, ipv + 1, 0)
+        lcpB = lcp2[row, ip1s]
         unique = (
-            need & (ml > 0) & (a != b) & jnp.where(use_a, sec_a, sec_b)
+            (ml > 0)
+            & (aa != bv)
+            & jnp.where(
+                use_a, lcpA < aa, (ipv + 1 >= nr) | (lcpB < bv)
+            )
         )
-        ps = jnp.where(use_a, pa, pb)
-        return ml, unique, ps
+        psv = jnp.where(use_a, pa_val, pb_val)
 
-    def one_step(pos, lq, ls, ll, fin, evn):
-        probe = ~fin
-        in_range = probe & (pos < seg_end)
-        safe_pos = jnp.where(in_range, pos, 0)
-        qa = qwb + safe_pos
+        found = l_acc | (finishing & ~l_acc & unique & (ml >= thr))
+        this_len = jnp.where(l_acc, lcp_here, ml)
+        this_s = jnp.where(l_acc, sp, psv)
 
-        advance = safe_pos - lq
-        gap = advance - ll
-        try_s = ls + advance
-        lucky_pre = in_range & (try_s < rl) & (gap >= 0) & (gap <= thr)
-        lucky_len = jax.lax.cond(
-            jnp.any(lucky_pre),
-            lambda: extend(qa, jnp.where(lucky_pre, try_s, 0), lucky_pre)[0],
-            lambda: jnp.zeros(lb, jnp.int32),
-        )
-        lucky_found = lucky_pre & (lucky_len >= thr)
-
-        need = in_range & ~lucky_found
-        ml, un, ps = search(safe_pos, need)
-
-        found = in_range & (lucky_found | (un & (ml >= thr)))
-        this_len = jnp.where(lucky_found, lucky_len, ml)
-        this_s = jnp.where(lucky_found, try_s, ps)
-
-        lq = jnp.where(found, safe_pos, lq)
+        # chain update (probe position is pre-advance ``pos``)
+        ev_pos = pos
+        lq = jnp.where(found, pos, lq)
         ls = jnp.where(found, this_s, ls)
         ll = jnp.where(found, this_len, ll)
-        pos = jnp.where(
-            probe,
-            jnp.where(in_range, safe_pos + this_len + 1, pos),
-            pos,
-        )
+        pos = jnp.where(finishing, pos + this_len + 1, pos)
         evn = evn + found.astype(jnp.int32)
-        fin = fin | (probe & ((pos >= seg_end) | (evn >= max_events)))
-        return (pos, lq, ls, ll, fin, evn,
-                found, safe_pos, this_s, this_len)
-
-    def cond(state):
-        return jnp.any(~state[4]) & (state[-1] < max_iters)
-
-    def body(state):
-        (pos, lq, ls, ll, fin, evn,
-         ev_lane_len, ev_qs, ev_cnt, ovf, it) = state
-        (pos, lq, ls, ll, fin, evn,
-         found, pos_qj, this_s, this_len) = one_step(
-            pos, lq, ls, ll, fin, evn
+        fin = fin | (
+            finishing & ((pos >= seg_end) | (evn >= max_events))
         )
+
+        # --- next phase / compare state ---
+        ph = jnp.where(in_lucky & ~mm, P_LUCKY, ph)  # keep extending
+        ph = jnp.where(to_bis, P_BIS, ph)
+        ph = jnp.where(to_a, P_AEXT, ph)
+        ph = jnp.where(to_b, P_BEXT, ph)
+        ph = jnp.where(finishing, P_FIRST, ph)
+        off2 = jnp.minimum(llo, lhi)
+        h = jnp.where(comparing & ~mm, h + 16, h)
+        h = jnp.where(to_bis, off2, h)
+        h = jnp.where(to_a, llo, h)
+        h = jnp.where(to_b, lhi, h)
+        h = jnp.where(finishing, 0, h)
+        sp = jnp.where(to_bis | to_a | to_b, tg, sp)
+        sp = jnp.where(
+            finishing, setup_sp(pos, lq, ls, ll, fin), sp
+        )
+        aa = jnp.where(finishing, -1, aa)
+
+        # --- stage the event (flushed once per super-step: the big-buffer
+        # compaction/scatter measured ~1 ms per loop iteration, dominating
+        # every other per-iteration cost — same lesson as the table
+        # kernel's probe unroll) ---
         f = found.astype(jnp.int32)
-        excl = jnp.cumsum(f, dtype=jnp.int32) - f
-        slot = jnp.where(f > 0, ev_cnt + excl, ecap)
         lane_len = (lane_iota.astype(jnp.int64) << 32) | this_len.astype(
             jnp.int64
         )
-        q_s = (pos_qj.astype(jnp.int64) << 32) | this_s.astype(jnp.int64)
-        ev_lane_len = ev_lane_len.at[slot].set(lane_len, mode="drop")
-        ev_qs = ev_qs.at[slot].set(q_s, mode="drop")
+        q_s = (ev_pos.astype(jnp.int64) << 32) | this_s.astype(jnp.int64)
+        st_ll, st_qs, st_f = stage
+        st_ll = jax.lax.dynamic_update_index_in_dim(st_ll, lane_len, u, 0)
+        st_qs = jax.lax.dynamic_update_index_in_dim(st_qs, q_s, u, 0)
+        st_f = jax.lax.dynamic_update_index_in_dim(st_f, f, u, 0)
+
+        return (
+            (pos, lq, ls, ll, fin, evn,
+             ph, h, sp, lo, hi, llo, lhi, ipv, aa, pav),
+            (st_ll, st_qs, st_f),
+        )
+
+    def super_body(state):
+        lanes_state, ev_lane_len, ev_qs, ev_cnt, ovf, it = state
+        stage = (
+            jnp.zeros((unroll, lb), jnp.int64),
+            jnp.zeros((unroll, lb), jnp.int64),
+            jnp.zeros((unroll, lb), jnp.int32),
+        )
+
+        def inner(u, st):
+            return iteration(st[0], st[1], u)
+
+        lanes_state, stage = jax.lax.fori_loop(
+            0, unroll, inner, (lanes_state, stage)
+        )
+        st_ll, st_qs, st_f = stage
+        # u-major flatten keeps chain order per lane (iterations are
+        # ordered; within one iteration, distinct lanes)
+        f = st_f.reshape(-1)
+        excl = jnp.cumsum(f, dtype=jnp.int32) - f
+        slot = jnp.where(f > 0, ev_cnt + excl, ecap)
+        ev_lane_len = ev_lane_len.at[slot].set(
+            st_ll.reshape(-1), mode="drop"
+        )
+        ev_qs = ev_qs.at[slot].set(st_qs.reshape(-1), mode="drop")
         ev_cnt = ev_cnt + jnp.sum(f, dtype=jnp.int32)
         ovf = ovf | (ev_cnt > ecap)
-        return (pos, lq, ls, ll, fin, evn,
-                ev_lane_len, ev_qs, ev_cnt, ovf, it + 1)
+        return (lanes_state, ev_lane_len, ev_qs, ev_cnt, ovf, it + unroll)
+
+    def cond(state):
+        return jnp.any(~state[0][4]) & (state[-1] < max_iters)
 
     fin0 = (pos0 >= seg_end) | (jnp.int32(0) >= max_events)
-    init = (pos0, lq0, ls0, ll0, fin0, jnp.zeros(lb, jnp.int32),
+    z = jnp.zeros(lb, jnp.int32)
+    sp0 = setup_sp(pos0, lq0, ls0, ll0, fin0)
+    lanes0 = (pos0, lq0, ls0, ll0, fin0, z,
+              z, z, sp0, z, z, z, z, z, jnp.full(lb, -1, jnp.int32), z)
+    init = (lanes0,
             jnp.zeros(ecap, jnp.int64), jnp.zeros(ecap, jnp.int64),
             jnp.zeros((), jnp.int32), jnp.bool_(False),
             jnp.zeros((), jnp.int32))
-    final = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, super_body, init)
+    (lanes_f, ev_lane_len, ev_qs, ev_cnt, ovf, it) = final
     (pos, lq, ls, ll, fin, _evn,
-     ev_lane_len, ev_qs, ev_cnt, ovf, it) = final
+     _ph, _h, _sp, _lo, _hi, _llo, _lhi, _ipv, _aa, _pav) = lanes_f
     ev_lane = (ev_lane_len >> 32).astype(jnp.int32)
     ev_len = (ev_lane_len & 0x7FFFFFFF).astype(jnp.int32)
     ev_q = (ev_qs >> 32).astype(jnp.int32)

@@ -275,6 +275,18 @@ def device_pack_words(sym):
     )(sym)
 
 
+def device_pack_words_u8(u8):
+    """Pack from uint8 bytes (queries: no separators/padding symbols) —
+    the H2D payload stays 1 byte/symbol."""
+    import jax
+
+    return jax.jit(
+        lambda b: _device_pack_words(
+            device_order_codes(b.astype(_jnp().int32))
+        )
+    )(u8)
+
+
 @functools.lru_cache(maxsize=None)
 def _cache_build_fn(k: int):
     import jax
@@ -317,12 +329,72 @@ def build_cache_device(codes, n_real, k: int):
     return _cache_build_fn(k)(codes, n_real)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_build_fn(length: int, cache_k: int, lcp_mode: str,
+                    base_width: int, max_levels: int):
+    """One traced program per (shape, config): SA + LCP + packed words +
+    k-mer cache in a SINGLE dispatch — the per-subject build previously
+    issued ~8 dispatches, each paying the tunneled link's per-call
+    overhead (~0.1-0.4 s), which dominated the 8 x 2M index build."""
+    import jax
+
+    from . import doubling
+
+    thr0 = int(length * doubling._BUCKET_FRAC)
+    tiers = doubling._tail_tiers(length, thr0)
+    L = doubling.levels_needed(length, True, base_width)
+    if lcp_mode == "hybrid":
+        L = min(L, 14)
+    L = max(1, min(L, max_levels))
+
+    @jax.jit
+    def build(sym, n_real):
+        sa, lcp, ovf = doubling._sa_lcp_core(
+            sym, packed=True, L=L, thr0=thr0, tiers=tiers,
+            want_lcp=True, lcp_mode=lcp_mode, base=base_width,
+        )
+        codes = device_order_codes(sym)
+        words = _device_pack_words(codes)
+        cache = _cache_build_fn(cache_k)(codes, n_real)
+        return sa, lcp, ovf, words, cache
+
+    return build
+
+
+def fused_build(sym, n_real, cache_k: int, lcp_mode: str,
+                base_width: int, max_levels: int):
+    fn = _fused_build_fn(
+        int(sym.shape[0]), cache_k, lcp_mode, base_width, int(max_levels)
+    )
+    return fn(sym, n_real)
+
+
+@functools.lru_cache(maxsize=None)
+def _acc_idx_fn():
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def acc(sa2, lcp2, sw, cache2, sa, lcp, w, c, k):
+        def upd(buf, r):
+            return jax.lax.dynamic_update_index_in_dim(buf, r, k, 0)
+
+        return upd(sa2, sa), upd(lcp2, lcp), upd(sw, w), upd(cache2, c)
+
+    return acc
+
+
+def acc_idx(sa2, lcp2, sw, cache2, sa, lcp, w, c, k):
+    """One donated-buffer dispatch writing all four index rows."""
+    return _acc_idx_fn()(sa2, lcp2, sw, cache2, sa, lcp, w, c, k)
+
+
 def pick_cache_k(max_len: int, n_subjects: int, budget_bytes: int) -> int:
-    """k-mer depth: deep enough that the average bracket is a few entries
-    (4^k ~ subject length), shallow enough that all subjects' caches fit
-    the budget."""
+    """k-mer depth: deep enough that the average bracket is below ONE
+    entry (4^k up to 16x the subject length — most probes then resolve
+    with zero or one bisect step, which prices the latency-bound walk),
+    shallow enough that all subjects' caches fit the budget."""
     k = 4
-    while k < 12 and (1 << (2 * (k + 1))) <= max_len:
+    while k < 12 and (1 << (2 * (k + 1))) <= max_len * 16:
         k += 1
     while k > 4 and n_subjects * ((1 << (2 * k)) + 1) * 4 > budget_bytes:
         k -= 1

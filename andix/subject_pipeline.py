@@ -97,7 +97,9 @@ def _build_query_blob(seqs, n):
     blob2 = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     pad = (-len(blob2)) % 16 + 16
     blob2 = np.concatenate([blob2, np.zeros(pad, np.uint8)])
-    qw = subject_index.device_pack_words(jnp.asarray(blob2.astype(np.int32)))
+    # ship BYTES through the tunnel; widen to symbols on device (4x less
+    # H2D than int32 — measured 1.6 s at 8 Mbp of queries)
+    qw = subject_index.device_pack_words_u8(jnp.asarray(blob2))
     raw = np.concatenate(
         [np.asarray(seqs[g].data, dtype=np.uint8) for g in range(n)]
     ) if n else np.zeros(0, np.uint8)
@@ -128,58 +130,78 @@ def _build_group_index(group, subjects, cache_k, threads):
     nreal = np.zeros(sg, dtype=np.int32)
 
     budget = level_budget(Lp)
+    env_mode = os.environ.get("ANDIX_LCP", "hybrid")
+
+    # per subject: device_text upload + ONE fused build dispatch (SA +
+    # LCP + words + cache, subject_index.fused_build) + ONE donated
+    # 4-buffer row write — the unfused chain (~8 dispatches/subject) paid
+    # the tunneled link's per-dispatch overhead ~8x per subject.
+    # Overflow flags are fetched once per group, not per subject.
+    ovf_flags = []
+    metas = []
     for k, i in enumerate(group):
-        rs = subjects[i].rs
-        layout = joint.build_block({i: rs}, {})
-        n_real = layout.n
-        nreal[k] = n_real
-        sym_d = device_text(layout, Lp)
-        present = np.nonzero(np.bincount(layout.u8, minlength=256))[0]
+        layout = joint.build_block({i: subjects[i].rs}, {})
+        nreal[k] = layout.n
         alphabet_ok = all(
-            int(b) in _plcp_mod.ALPHABET_U8 for b in present
+            int(b) in _plcp_mod.ALPHABET_U8
+            for b in np.nonzero(np.bincount(layout.u8, minlength=256))[0]
         )
-        lcp_mode = "levels"
-        env_mode = os.environ.get("ANDIX_LCP", "hybrid")
-        if alphabet_ok and env_mode in ("plcp", "hybrid"):
-            lcp_mode = env_mode
+        lcp_mode = (
+            env_mode
+            if alphabet_ok and env_mode in ("plcp", "hybrid")
+            else "levels"
+        )
         base_width = doubling.wide_base_width(1, alphabet_ok)
-        sa_d, lcp_d, ovf_d, may_ovf = doubling.sa_lcp_device(
-            sym_d, packed=True, max_levels=budget,
-            lcp_mode=lcp_mode, base_width=base_width,
+        sym_d = device_text(layout, Lp)
+        sa_d, lcp_d, ovf_d, words, cache = subject_index.fused_build(
+            sym_d, jnp.int32(layout.n), cache_k, lcp_mode, base_width,
+            budget,
         )
-        if may_ovf and bool(np.asarray(jax.device_get(ovf_d))):
-            # pathologically repetitive input: SA exact, LCP invalid —
-            # host Φ fallback (same contract as the joint backend)
-            sa_h = np.asarray(jax.device_get(sa_d))
-            padded = pad_symbols(layout.sym, Lp)
-            if native.available():
-                lcp_h = native.lcp_from_sa(padded, sa_h, threads)
-            else:  # pragma: no cover - toolchain-less fallback
-                lcp_h = sa_numpy.lcp_array(padded, sa_h)
-            lcp_d = jnp.asarray(lcp_h.astype(np.int32))
-        codes_d = subject_index.device_order_codes(sym_d)
-        words = subject_index._device_pack_words(codes_d)
-        cache = subject_index.build_cache_device(
-            codes_d, jnp.int32(n_real), cache_k
+        sa2, lcp2, sw, cache2 = subject_index.acc_idx(
+            sa2, lcp2, sw, cache2, sa_d, lcp_d, words, cache,
+            jnp.int32(k),
         )
-        sa2 = _acc_row(sa2, sa_d, k)
-        lcp2 = _acc_row(lcp2, lcp_d, k)
-        sw = _acc_row(sw, words, k)
-        cache2 = _acc_row(cache2, cache, k)
-        del sym_d, sa_d, lcp_d, codes_d, words, cache
+        ovf_flags.append(ovf_d)
+        metas.append((k, i, layout))
+        del sym_d, sa_d, lcp_d, words, cache
+
+    ovf_h = np.asarray(jax.device_get(jnp.stack(ovf_flags)))
+    for (k, i, layout), bad in zip(metas, ovf_h):
+        if not bool(bad):
+            continue
+        # pathologically repetitive input: SA exact, LCP invalid — host
+        # Φ fallback (same contract as the joint backend)
+        sa_h = np.asarray(jax.device_get(sa2[k]))
+        padded = pad_symbols(layout.sym, Lp)
+        if native.available():
+            lcp_h = native.lcp_from_sa(padded, sa_h, threads)
+        else:  # pragma: no cover - toolchain-less fallback
+            lcp_h = sa_numpy.lcp_array(padded, sa_h)
+        lcp2 = _acc_row(lcp2, jnp.asarray(lcp_h.astype(np.int32)), k)
     return sa2, lcp2, sw, cache2, nreal, Lp
 
 
-def _chain_segments(max_qlen: int) -> int:
+LANE_TARGET = int(os.environ.get("ANDIX_LANE_TARGET", "6144"))
+
+
+def _chain_segments(max_qlen: int, lanes_base: int) -> int:
+    """Segments per lane: unlike the table walk (gather-throughput-bound
+    at >=512 lanes, PERF.md r4), the search walk is LATENCY-bound — its
+    probe is a chain of small nested loops — so K scales until the lane
+    count amortizes the per-step latency (~LANE_TARGET lanes), bounded by
+    a minimum segment length (reconciliation overhead) and K <= 64."""
     env = os.environ.get("ANDIX_CHAIN_SEGMENTS", "auto")
     if env != "auto":
-        k = int(env)
-    elif max_qlen >= 1 << 19:
-        k = 8
-    elif max_qlen >= 1 << 17:
-        k = 4
-    else:
-        k = 1
+        return max(1, min(int(env), max(max_qlen, 1)))
+    if max_qlen < 1 << 17:
+        return 1
+    k = 1
+    while (
+        k < 64
+        and lanes_base * k * 2 <= LANE_TARGET
+        and max_qlen // (k * 2) >= 4096
+    ):
+        k *= 2
     return max(1, min(k, max(max_qlen, 1)))
 
 
@@ -257,7 +279,9 @@ def process_subject_index(
                 str(max(1 << 16, bucket(int(q_off[-1]) + 1) // 2)),
             )
         )
-        seg_k = _chain_segments(int(q_len_row.max()) if n else 0)
+        seg_k = _chain_segments(
+            int(q_len_row.max()) if n else 0, len(group) * max(n - 1, 1)
+        )
 
         def make_walk(ecap_now):
             def walk(arr, chunk_iters, maxev):
@@ -274,11 +298,13 @@ def process_subject_index(
                 return _fetch_walk(out, ecap_now)
             return walk
 
-        prof = (
-            (lambda msg: _prof("sx: " + msg, time.time()))
-            if os.environ.get("ANDIX_PROF_FILE")
-            else None
-        )
+        t_ref = [time.time()]
+
+        def prof(msg, _t=t_ref):
+            _t[0] = _prof("sx: " + msg, _t[0])
+
+        if not os.environ.get("ANDIX_PROF_FILE"):
+            prof = None
         res = None
         ecap_now = ecap
         for _ in range(3):
