@@ -12,25 +12,30 @@ come from a SEEDED BINARY SEARCH in the per-subject suffix array
   primitive against the diagonal-projected subject position — the joint-text
   RMQ/LCE is gone.
 
-The loop is a fully ASYNCHRONOUS per-lane state machine: every iteration
-advances every lane by exactly one 16-symbol window compare (or one probe
-bookkeeping step), whatever sub-phase that lane is in — first-window +
-cache seed, lucky extension, bisection compare, left/right boundary
-extension.  There is no per-phase synchronization: a lane deep in a long
-extension churns alone while its neighbors start new probes.  A nested
-per-phase loop design measured 2-3x slower — every sub-loop iteration
-gathers ALL lanes while only its own phase's lanes are active, so the walk
-(gather-volume-bound at >=512 lanes, like the table walk, PERF.md r4) paid
-for each phase's max-over-lanes, not the per-lane sum.  Here total gather
-volume is ~2 B per compared symbol + ~30 B of bookkeeping per probe —
-within ~2x of the text-read floor.
+The loop is a fully ASYNCHRONOUS per-lane state machine; its unit cost is
+the ITERATION (~330 ns/lane on chip, volume-bound, MICROBENCH_SX.json), so
+the design packs a whole probe into as few iterations as possible:
+
+* probe-START control (k-mer code, cache bracket, transition gathers) and
+  the first window compare happen in the SAME iteration — an empty cache
+  bracket (the common case at cache_k=12) resolves a whole probe, both
+  boundary lcps included, in ONE iteration;
+* the two boundary extensions (vs SA[ip-1] and SA[ip]) run SIMULTANEOUSLY
+  from the shared offset min(l_lo, l_hi) — re-comparing the few
+  known-equal symbols of the deeper side is free next to an extra
+  iteration;
+* bisection steps cost one iteration each: the resolution picks the next
+  mid (or the boundary pair) with an end-of-iteration gather, and the next
+  compare starts immediately.
+
+A nested per-phase-loop design measured 2-3x slower (each sub-loop paid
+max-over-lanes, not per-lane sums); a one-op-per-iteration flat design
+without fused control still spent ~3.5 iterations per probe.
 
 Comparisons never need explicit length caps: the query sentinel (code 0)
-and the subject separator/padding codes are outside each other's alphabets,
-so every compare terminates at the true boundary (see
-``subject_index`` module docstring).  Exact-match brackets come from the
-k-mer cache; the bisection tracks (l_lo, l_hi) so compares resume at the
-known-agreement offset (the classical SA search bound).
+and the subject separator/padding codes are outside each other's
+alphabets, so every compare terminates at the true boundary (see
+``subject_index`` module docstring).
 """
 
 from __future__ import annotations
@@ -41,11 +46,10 @@ import jax
 import jax.numpy as jnp
 
 # probe pipeline phases (per lane)
-P_FIRST = 0  # first window of a probe: cache seed (+ lucky compare)
-P_LUCKY = 1  # continuing the lucky-anchor extension
+P_FIRST = 0  # fresh probe: cache seed + first compare
+P_LUCKY = 1  # lucky-anchor extension
 P_BIS = 2  # bisection compare vs SA[mid]
-P_AEXT = 3  # left-boundary extension vs SA[ip-1]
-P_BEXT = 4  # right-boundary extension vs SA[ip]
+P_AB = 3  # both boundary extensions vs SA[ip-1] / SA[ip]
 
 
 def _combine_window(w0, w1, r):
@@ -99,23 +103,30 @@ def chain_walk_flat_sx(
     pos, lq, ls, ll, fin)."""
     lb = row.shape[0]
     lanes_sq = sw.shape[1]
+    sa_last = sa2.shape[1] - 1
     qw_last = qw.shape[0] - 1
     lane_iota = jnp.arange(lb, dtype=jnp.int32)
     nr = nreal[row]
+    two = jnp.arange(2, dtype=jnp.int32)[None, :]
 
     def qwin(p):
         j = p >> 4
         r = p & 15
-        w0 = qw[jnp.minimum(j, qw_last)]
-        w1 = qw[jnp.minimum(j + 1, qw_last)]
-        return _combine_window(w0, w1, r)
+        w = qw[jnp.minimum(j[:, None] + two, qw_last)]
+        return _combine_window(w[:, 0], w[:, 1], r)
 
     def swin(p):
         j = p >> 4
         r = p & 15
-        w0 = sw[row, jnp.minimum(j, lanes_sq - 1)]
-        w1 = sw[row, jnp.minimum(j + 1, lanes_sq - 1)]
-        return _combine_window(w0, w1, r)
+        w = sw[row[:, None], jnp.minimum(j[:, None] + two, lanes_sq - 1)]
+        return _combine_window(w[:, 0], w[:, 1], r)
+
+    def sa_pair(colA, colB):
+        idx = jnp.stack(
+            [jnp.clip(colA, 0, sa_last), jnp.clip(colB, 0, sa_last)], 1
+        )
+        g = sa2[row[:, None], idx]
+        return g[:, 0], g[:, 1]
 
     def lucky_cond(pos, lq, ls, ll, fin):
         """Reference lucky-anchor precondition (src/process.c:82-100,156):
@@ -132,20 +143,13 @@ def chain_walk_flat_sx(
 
     def iteration(lanes_state, stage, u):
         (pos, lq, ls, ll, fin, evn,
-         ph, h, sp, lo, hi, llo, lhi, ipv, aa, pav) = lanes_state
+         ph, h, spA, spB, lo, hi, llo, lhi, ipv, aa, bb) = lanes_state
 
         act = ~fin
         qa = qwb + jnp.where(act, pos, 0)
-        sp_s = jnp.where(act, sp, 0)
         wq = qwin(qa + h)
-        ws = swin(sp_s + h)
-        m = _word_lcp(wq, ws)
-        mi = jnp.minimum(m, 15)
-        qn = _nibble(wq, mi)
-        sn = _nibble(ws, mi)
-        mm = m < 16
 
-        # --- P_FIRST: k-mer code + cache bracket (all first lanes) ---
+        # ---- probe-start control: k-mer code + cache bracket + seek ----
         is_first = act & (ph == P_FIRST)
         code = jnp.zeros(lb, jnp.int32)
         valid = is_first
@@ -162,85 +166,106 @@ def chain_walk_flat_sx(
         lhi = jnp.where(is_first, 0, lhi)
 
         lucky_pre, _try_s = lucky_cond(pos, lq, ls, ll, fin)
-        lucky_pre = lucky_pre & is_first
-        in_lucky = (act & (ph == P_LUCKY)) | lucky_pre
-        in_bis = act & (ph == P_BIS)
-        in_a = act & (ph == P_AEXT)
-        in_b = act & (ph == P_BEXT)
+        first_lucky = is_first & lucky_pre
         first_nl = is_first & ~lucky_pre
+        e_to_bis = first_nl & (lo < hi)
+        e_to_ab = first_nl & (lo >= hi)
+        ipv = jnp.where(e_to_ab, lo, ipv)
+        mid_e = (lo + hi) >> 1
+        tgA, tgB = sa_pair(
+            jnp.where(e_to_bis, mid_e, ipv - 1),
+            jnp.where(e_to_bis, mid_e, ipv),
+        )
+        spA = jnp.where(e_to_bis | e_to_ab, tgA, spA)
+        spB = jnp.where(e_to_ab, tgB, spB)
+        ph = jnp.where(first_lucky, P_LUCKY, ph)
+        ph = jnp.where(e_to_bis, P_BIS, ph)
+        ph = jnp.where(e_to_ab, P_AB, ph)
 
-        comparing = in_lucky | in_bis | in_a | in_b
-        lcp_here = h + m  # total agreement of the current compare
+        # ---- compares (A slot: lucky/bis/left boundary; B slot: right) --
+        in_lucky = act & (ph == P_LUCKY)
+        in_bis = act & (ph == P_BIS)
+        in_ab = act & (ph == P_AB)
+        a_active = in_lucky | in_bis | (in_ab & (aa < 0) & (ipv > 0))
+        b_active = in_ab & (bb < 0) & (ipv < nr)
+        wsA = swin(jnp.where(a_active, spA, 0) + h)
+        wsB = swin(jnp.where(b_active, spB, 0) + h)
+        mA = _word_lcp(wq, wsA)
+        mB = _word_lcp(wq, wsB)
+        miA = jnp.minimum(mA, 15)
+        qnA = _nibble(wq, miA)
+        snA = _nibble(wsA, miA)
+        mmA = mA < 16
+        mmB = mB < 16
+        lcpA = h + mA
+        lcpB = h + mB
 
-        # --- resolutions (mismatch this iteration) ---
-        l_done = in_lucky & mm
-        l_acc = l_done & (lcp_here >= thr)
+        # lucky resolution
+        l_done = in_lucky & mmA
+        l_acc = l_done & (lcpA >= thr)
         l_fail = l_done & ~l_acc
 
-        b_done = in_bis & mm
+        # bisection resolution (mid from pre-update lo/hi)
+        b_done = in_bis & mmA
         mid = (lo + hi) >> 1
-        qless = qn < sn
+        qless = qnA < snA
         go_hi = b_done & qless
         go_lo = b_done & ~qless
         hi = jnp.where(go_hi, mid, hi)
-        lhi = jnp.where(go_hi, lcp_here, lhi)
+        lhi = jnp.where(go_hi, lcpA, lhi)
         lo = jnp.where(go_lo, mid + 1, lo)
-        llo = jnp.where(go_lo, lcp_here, llo)
+        llo = jnp.where(go_lo, lcpA, llo)
 
-        a_done = in_a & mm
-        aa = jnp.where(a_done, lcp_here, aa)
-        bdone2 = in_b & mm
-        bv = jnp.where(bdone2, lcp_here, -1)
+        # boundary resolutions
+        aa = jnp.where(in_ab & a_active & mmA, lcpA, aa)
+        bb = jnp.where(in_ab & b_active & mmB, lcpB, bb)
+        doneA = (aa >= 0) | (ipv <= 0)
+        doneB = (bb >= 0) | (ipv >= nr)
+        ab_done = in_ab & doneA & doneB
 
-        # --- transitions ---
-        enter_search = l_fail | first_nl
-        bis_exit = (enter_search & (lo >= hi)) | (b_done & (lo >= hi))
-        ipv = jnp.where(bis_exit, lo, ipv)
-        to_bis = (enter_search | b_done) & (lo < hi)
-        has_a = ipv > 0
-        has_b = ipv < nr
-        to_a = bis_exit & has_a
-        to_b = (bis_exit & ~has_a & has_b) | (a_done & has_b)
-        aa = jnp.where(bis_exit & ~has_a, -1, aa)
-        finishing = (
-            l_acc
-            | (bis_exit & ~has_a & ~has_b)
-            | (a_done & ~has_b)
-            | bdone2
+        # shared-offset advance while anything still extends
+        still = (
+            (in_lucky & ~mmA)
+            | (in_bis & ~mmA)
+            | (in_ab & ~ab_done & ((a_active & ~mmA) | (b_active & ~mmB)))
         )
+        h = jnp.where(still, h + 16, h)
 
-        # one transition gather serves BIS-next-mid / A-entry / B-entry
+        # ---- late seek: failed lucky / resolved bisect step ----
+        seek = l_fail | b_done
+        post_to_bis = seek & (lo < hi)
+        post_to_ab = seek & (lo >= hi)
+        ipv = jnp.where(post_to_ab, lo, ipv)
         mid2 = (lo + hi) >> 1
-        tg_idx = jnp.where(
-            to_bis,
-            mid2,
-            jnp.where(to_a, ipv - 1, jnp.where(to_b, ipv, 0)),
+        tgA2, tgB2 = sa_pair(
+            jnp.where(post_to_bis, mid2, ipv - 1),
+            jnp.where(post_to_bis, mid2, ipv),
         )
-        tg = sa2[row, tg_idx]
-        pav = jnp.where(to_a, tg, pav)
+        spA = jnp.where(post_to_bis | post_to_ab, tgA2, spA)
+        spB = jnp.where(post_to_ab, tgB2, spB)
+        ph = jnp.where(post_to_bis, P_BIS, ph)
+        ph = jnp.where(post_to_ab, P_AB, ph)
+        h = jnp.where(seek, jnp.minimum(llo, lhi), h)
 
-        # --- FINAL: (ml, unique, ps), chain update, next-probe setup ---
-        pa_val = jnp.where(a_done, sp, pav)
-        pb_val = sp  # only consumed on the bdone2 path
-        ml = jnp.maximum(jnp.maximum(aa, bv), 0)
-        use_a = aa >= bv
-        lcpA = lcp2[row, jnp.maximum(ipv - 1, 0)]
+        # ---- FINAL: stats, chain update, next-probe setup ----
+        finishing = ab_done | l_acc
+        ml = jnp.maximum(jnp.maximum(aa, bb), 0)
+        use_a = aa >= bb
         ip1s = jnp.where(ipv + 1 < nr, ipv + 1, 0)
-        lcpB = lcp2[row, ip1s]
+        lidx = jnp.stack([jnp.maximum(ipv - 1, 0), ip1s], 1)
+        lcpP = lcp2[row[:, None], lidx]
         unique = (
             (ml > 0)
-            & (aa != bv)
+            & (aa != bb)
             & jnp.where(
-                use_a, lcpA < aa, (ipv + 1 >= nr) | (lcpB < bv)
+                use_a, lcpP[:, 0] < aa, (ipv + 1 >= nr) | (lcpP[:, 1] < bb)
             )
         )
-        psv = jnp.where(use_a, pa_val, pb_val)
+        psv = jnp.where(use_a, spA, spB)
+        found = l_acc | (ab_done & unique & (ml >= thr))
+        this_len = jnp.where(l_acc, lcpA, ml)
+        this_s = jnp.where(l_acc, spA, psv)
 
-        found = l_acc | (finishing & ~l_acc & unique & (ml >= thr))
-        this_len = jnp.where(l_acc, lcp_here, ml)
-        this_s = jnp.where(l_acc, sp, psv)
-
-        # chain update (probe position is pre-advance ``pos``)
         ev_pos = pos
         lq = jnp.where(found, pos, lq)
         ls = jnp.where(found, this_s, ls)
@@ -250,29 +275,13 @@ def chain_walk_flat_sx(
         fin = fin | (
             finishing & ((pos >= seg_end) | (evn >= max_events))
         )
-
-        # --- next phase / compare state ---
-        ph = jnp.where(in_lucky & ~mm, P_LUCKY, ph)  # keep extending
-        ph = jnp.where(to_bis, P_BIS, ph)
-        ph = jnp.where(to_a, P_AEXT, ph)
-        ph = jnp.where(to_b, P_BEXT, ph)
         ph = jnp.where(finishing, P_FIRST, ph)
-        off2 = jnp.minimum(llo, lhi)
-        h = jnp.where(comparing & ~mm, h + 16, h)
-        h = jnp.where(to_bis, off2, h)
-        h = jnp.where(to_a, llo, h)
-        h = jnp.where(to_b, lhi, h)
         h = jnp.where(finishing, 0, h)
-        sp = jnp.where(to_bis | to_a | to_b, tg, sp)
-        sp = jnp.where(
-            finishing, setup_sp(pos, lq, ls, ll, fin), sp
-        )
         aa = jnp.where(finishing, -1, aa)
+        bb = jnp.where(finishing, -1, bb)
+        spA = jnp.where(finishing, setup_sp(pos, lq, ls, ll, fin), spA)
 
-        # --- stage the event (flushed once per super-step: the big-buffer
-        # compaction/scatter measured ~1 ms per loop iteration, dominating
-        # every other per-iteration cost — same lesson as the table
-        # kernel's probe unroll) ---
+        # ---- stage the event (flushed once per super-step) ----
         f = found.astype(jnp.int32)
         lane_len = (lane_iota.astype(jnp.int64) << 32) | this_len.astype(
             jnp.int64
@@ -285,7 +294,7 @@ def chain_walk_flat_sx(
 
         return (
             (pos, lq, ls, ll, fin, evn,
-             ph, h, sp, lo, hi, llo, lhi, ipv, aa, pav),
+             ph, h, spA, spB, lo, hi, llo, lhi, ipv, aa, bb),
             (st_ll, st_qs, st_f),
         )
 
@@ -322,17 +331,17 @@ def chain_walk_flat_sx(
 
     fin0 = (pos0 >= seg_end) | (jnp.int32(0) >= max_events)
     z = jnp.zeros(lb, jnp.int32)
+    neg = jnp.full(lb, -1, jnp.int32)
     sp0 = setup_sp(pos0, lq0, ls0, ll0, fin0)
     lanes0 = (pos0, lq0, ls0, ll0, fin0, z,
-              z, z, sp0, z, z, z, z, z, jnp.full(lb, -1, jnp.int32), z)
+              z, z, sp0, z, z, z, z, z, z, neg, neg)
     init = (lanes0,
             jnp.zeros(ecap, jnp.int64), jnp.zeros(ecap, jnp.int64),
             jnp.zeros((), jnp.int32), jnp.bool_(False),
             jnp.zeros((), jnp.int32))
     final = jax.lax.while_loop(cond, super_body, init)
     (lanes_f, ev_lane_len, ev_qs, ev_cnt, ovf, it) = final
-    (pos, lq, ls, ll, fin, _evn,
-     _ph, _h, _sp, _lo, _hi, _llo, _lhi, _ipv, _aa, _pav) = lanes_f
+    pos, lq, ls, ll, fin = lanes_f[:5]
     ev_lane = (ev_lane_len >> 32).astype(jnp.int32)
     ev_len = (ev_lane_len & 0x7FFFFFFF).astype(jnp.int32)
     ev_q = (ev_qs >> 32).astype(jnp.int32)
