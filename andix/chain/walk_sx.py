@@ -342,9 +342,7 @@ def chain_walk_flat_sx(
     final = jax.lax.while_loop(cond, super_body, init)
     (lanes_f, ev_lane_len, ev_qs, ev_cnt, ovf, it) = final
     pos, lq, ls, ll, fin = lanes_f[:5]
-    ev_lane = (ev_lane_len >> 32).astype(jnp.int32)
-    ev_len = (ev_lane_len & 0x7FFFFFFF).astype(jnp.int32)
-    ev_q = (ev_qs >> 32).astype(jnp.int32)
-    ev_s = (ev_qs & 0x7FFFFFFF).astype(jnp.int32)
-    return (ev_lane, ev_q, ev_s, ev_len, ev_cnt, ovf, it,
+    # raw packed event buffers: the fetch path either compresses them on
+    # device (chain.evpack, ~6 B/event D2H) or unpacks to int32 quads
+    return (ev_lane_len, ev_qs, ev_cnt, ovf, it,
             pos, lq, ls, ll, fin)
