@@ -438,21 +438,44 @@ def calculate_matrix(
     if not todo:
         return M
 
-    if (
-        getattr(backend, "device_replay", False)
-        and os.environ.get("ANDIX_INDEX", "joint") == "subject"
-    ):
-        # subject-only index schedule (one index per subject, queries
-        # streamed — reference architecture, src/dist_hack.h:64): rows it
-        # cannot finish (event overflow after escalation) fall through to
-        # the joint-SA paths below
-        from .subject_pipeline import process_subject_index
+    if getattr(backend, "device_replay", False):
+        mode = os.environ.get("ANDIX_INDEX", "auto")
+        use_sx = mode == "subject"
+        if mode == "auto":
+            # the joint schedule re-sorts the block text once per query
+            # chunk and rebuilds subjects once per block; the subject
+            # index wins exactly when the joint plan would split
+            # (measured: joint faster at single-block 1 Mbp configs,
+            # subject faster at genome-scale multi-block/chunked plans).
+            # No mesh path for the subject index yet — autos stay joint
+            # on multi-device runs.
+            import jax
 
-        todo = process_subject_index(
-            todo, seqs, subjects, ctx, M, progress, ckpt
-        )
-        if not todo:
-            return M
+            probe_blocks = make_blocks(
+                [subjects[i] for i in todo], block_syms, False,
+                query_base=max_query_syms,
+            )
+            query_total = sum(s.len + 1 for s in seqs)
+            chunked = (
+                max_query_syms is not None
+                and query_total > max_query_syms
+            )
+            use_sx = (
+                (len(probe_blocks) > 1 or chunked)
+                and len(jax.devices()) == 1
+            )
+        if use_sx:
+            # subject-only index schedule (one index per subject, queries
+            # streamed — reference architecture, src/dist_hack.h:64):
+            # rows it cannot finish (event overflow after escalation)
+            # fall through to the joint-SA paths below
+            from .subject_pipeline import process_subject_index
+
+            todo = process_subject_index(
+                todo, seqs, subjects, ctx, M, progress, ckpt
+            )
+            if not todo:
+                return M
 
     devices = []
     if getattr(backend, "device_replay", False):
