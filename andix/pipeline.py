@@ -447,8 +447,9 @@ def calculate_matrix(
             # index wins exactly when the joint plan would split
             # (measured: joint faster at single-block 1 Mbp configs,
             # subject faster at genome-scale multi-block/chunked plans).
-            # No mesh path for the subject index yet — autos stay joint
-            # on multi-device runs.
+            # Multi-device single-process runs use the subject schedule's
+            # device-parallel group drivers; multi-process runs stay on
+            # the shard_map joint path (no cross-process sx merge yet).
             import jax
 
             probe_blocks = make_blocks(
@@ -462,7 +463,7 @@ def calculate_matrix(
             )
             use_sx = (
                 (len(probe_blocks) > 1 or chunked)
-                and len(jax.devices()) == 1
+                and jax.process_count() == 1
             )
         if use_sx:
             # subject-only index schedule (one index per subject, queries

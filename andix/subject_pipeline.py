@@ -58,6 +58,10 @@ def plan_groups(subjects, todo, low_memory: bool) -> list[list[int]]:
     if low_memory:
         return [[i] for i in todo]
     budget = DEVICE_MEM_BYTES
+    # optional subject cap per group: rows checkpoint at group
+    # completion, so hour-scale runs on a flaky link want groups that
+    # finish in minutes, not one all-subject group (VERDICT r4 #9)
+    cap = int(os.environ.get("ANDIX_GROUP_SUBJECTS", "0"))
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_bytes = 0.0
@@ -65,7 +69,10 @@ def plan_groups(subjects, todo, low_memory: bool) -> list[list[int]]:
         bp = bucket(subjects[i].len * 2 + 2)
         need = bp * IDX_BYTES_PER_SYM
         build_peak = bp * BYTES_PER_PADDED_SYM
-        if cur and cur_bytes + need + build_peak + CACHE_BUDGET > budget:
+        if cur and (
+            cur_bytes + need + build_peak + CACHE_BUDGET > budget
+            or (cap and len(cur) >= cap)
+        ):
             groups.append(cur)
             cur = []
             cur_bytes = 0.0
@@ -74,36 +81,6 @@ def plan_groups(subjects, todo, low_memory: bool) -> list[list[int]]:
     if cur:
         groups.append(cur)
     return groups
-
-
-def _build_query_blob(seqs, n):
-    """(raw blob, q_off int64[n+1], sentinel blob symbol offsets
-    qw_base int32[n], packed query words on device)."""
-    import jax.numpy as jnp
-
-    from .esa import subject_index
-
-    q_off = np.zeros(n + 1, dtype=np.int64)
-    qw_base = np.zeros(n, dtype=np.int32)
-    parts = []
-    pos = 0
-    for g in range(n):
-        data = seqs[g].data
-        q_off[g + 1] = q_off[g] + len(data)
-        qw_base[g] = pos
-        parts.append(np.asarray(data, dtype=np.uint8))
-        parts.append(np.zeros(1, np.uint8))  # sentinel
-        pos += len(data) + 1
-    blob2 = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-    pad = (-len(blob2)) % 16 + 16
-    blob2 = np.concatenate([blob2, np.zeros(pad, np.uint8)])
-    # ship BYTES through the tunnel; widen to symbols on device (4x less
-    # H2D than int32 — measured 1.6 s at 8 Mbp of queries)
-    qw = subject_index.device_pack_words_u8(jnp.asarray(blob2))
-    raw = np.concatenate(
-        [np.asarray(seqs[g].data, dtype=np.uint8) for g in range(n)]
-    ) if n else np.zeros(0, np.uint8)
-    return raw, q_off, qw_base, qw
 
 
 def _build_group_index(group, subjects, cache_k, threads):
@@ -223,11 +200,11 @@ def process_subject_index(
     from .esa import subject_index
     from .esa.backend_jax import bucket
 
-    n = len(seqs)
-    t0 = time.time()
-    raw_blob, q_off, qw_base, qw = _build_query_blob(seqs, n)
-    t0 = _prof("sx: query words H2D", t0, qw)
+    import threading
 
+    import jax
+
+    n = len(seqs)
     max_len = max(s.len * 2 + 2 for s in subjects)
     cache_k = int(
         os.environ.get(
@@ -237,7 +214,9 @@ def process_subject_index(
     )
     threads = ctx.threads
     leftovers: list[int] = []
+    publish_lock = threading.Lock()
 
+    raw_blob, q_off, qw_base = _host_query_blob(seqs, n)
     gp = max(8, -(-n // 8) * 8)
     q_len_row = np.zeros(gp, dtype=np.int32)
     qw_base_pad = np.zeros(gp, dtype=np.int32)
@@ -246,92 +225,211 @@ def process_subject_index(
     q_off_pad = np.full(gp + 1, q_off[-1], dtype=np.int64)
     q_off_pad[: n + 1] = q_off
 
-    for group in plan_groups(subjects, todo, ctx.low_memory):
-        t0 = time.time()
-        sg = -(-len(group) // 8) * 8
-        sa2, lcp2, sw, cache2, nreal_h, Lp = _build_group_index(
-            group, subjects, cache_k, threads
+    groups = plan_groups(subjects, todo, ctx.low_memory)
+    devices = jax.devices()
+    n_workers = (
+        min(len(devices), len(groups))
+        if (
+            len(devices) > 1
+            and jax.process_count() == 1
+            and os.environ.get("ANDIX_SX_MESH", "1") != "0"
         )
-        if sg > len(group):
-            pad_rows = sg - len(group)
-            z = lambda a: jnp.zeros((pad_rows,) + a.shape[1:], a.dtype)
-            sa2 = jnp.concatenate([sa2, z(sa2)])
-            lcp2 = jnp.concatenate([lcp2, z(lcp2)])
-            sw = jnp.concatenate([sw, z(sw)])
-            cache2 = jnp.concatenate([cache2, z(cache2)])
-        nreal = np.ones(sg, dtype=np.int32)
-        nreal[: len(group)] = nreal_h[: len(group)]
-        t0 = _prof(f"sx: index build ({len(group)} subj)", t0, sa2[0])
+        else 1
+    )
 
-        rs_lens = np.ones(sg, dtype=np.int32)
-        thresholds = np.full(sg, 2**29, dtype=np.int32)
-        q_len2d = np.zeros((sg, gp), dtype=np.int32)
-        for k, i in enumerate(group):
-            rs_lens[k] = subjects[i].len
-            thresholds[k] = subjects[i].threshold
-            q_len2d[k] = q_len_row
-            q_len2d[k, i] = 0  # diagonal pair skipped
-        nreal_d = jnp.asarray(nreal)
+    balance: list[str] = []
 
-        ecap = int(
-            os.environ.get(
-                "ANDIX_EVENT_CAP",
-                str(max(1 << 16, bucket(int(q_off[-1]) + 1) // 2)),
-            )
+    def run_device(widx: int) -> None:
+        """One worker per device: its groups' whole build+walk+count
+        pipelines run with arrays placed on that device (the pair grid is
+        embarrassingly parallel — per-device dispatches are asynchronous,
+        so devices compute concurrently while the host drivers
+        interleave)."""
+        my_groups = groups[widx::n_workers]
+        if not my_groups:
+            return
+        dev_cm = (
+            jax.default_device(devices[widx])
+            if n_workers > 1
+            else _nullcontext()
         )
-        seg_k = _chain_segments(
-            int(q_len_row.max()) if n else 0, len(group) * max(n - 1, 1)
-        )
-
-        def make_walk(ecap_now):
-            def walk(arr, chunk_iters, maxev):
-                out = chain_walk_flat_sx(
-                    sa2, lcp2, sw, cache2, nreal_d, qw,
-                    jnp.asarray(arr["row"]), jnp.asarray(arr["qs"]),
-                    jnp.asarray(arr["rl"]), jnp.asarray(arr["thr"]),
-                    jnp.asarray(arr["seg_end"]),
-                    jnp.asarray(arr["pos0"]), jnp.asarray(arr["lq0"]),
-                    jnp.asarray(arr["ls0"]), jnp.asarray(arr["ll0"]),
-                    jnp.int32(chunk_iters), jnp.int32(maxev),
-                    cache_k, ecap_now,
+        with dev_cm:
+            qw = _pack_query_words(raw_blob, q_off, n)
+            for group in my_groups:
+                _process_group(
+                    group, widx, qw, seqs, subjects, ctx, M, progress,
+                    ckpt, cache_k, threads, leftovers, publish_lock,
+                    n, gp, q_len_row, qw_base_pad, q_off, q_off_pad,
+                    raw_blob, balance,
                 )
-                return _fetch_walk(out, ecap_now)
-            return walk
 
-        t_ref = [time.time()]
+    if n_workers > 1:
+        ts = [
+            threading.Thread(target=run_device, args=(w,))
+            for w in range(n_workers)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if balance and os.environ.get("ANDIX_PROF_FILE"):
+            _prof("sx mesh balance: " + "; ".join(balance), time.time())
+    else:
+        run_device(0)
+    return leftovers
 
-        def prof(msg, _t=t_ref):
-            _t[0] = _prof("sx: " + msg, _t[0])
 
-        if not os.environ.get("ANDIX_PROF_FILE"):
-            prof = None
-        res = None
-        ecap_now = ecap
-        for _ in range(3):
-            res = segmented.segmented_group_anchors(
-                make_walk(ecap_now), sg, gp, 0,
-                np.zeros(sg, np.int32), rs_lens, thresholds,
-                qw_base_pad, qw_base_pad, q_len2d, seg_k, ecap_now, prof,
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def _host_query_blob(seqs, n):
+    q_off = np.zeros(n + 1, dtype=np.int64)
+    qw_base = np.zeros(n, dtype=np.int32)
+    pos = 0
+    for g in range(n):
+        q_off[g + 1] = q_off[g] + len(seqs[g].data)
+        qw_base[g] = pos
+        pos += len(seqs[g].data) + 1
+    raw = np.concatenate(
+        [np.asarray(seqs[g].data, dtype=np.uint8) for g in range(n)]
+    ) if n else np.zeros(0, np.uint8)
+    return raw, q_off, qw_base
+
+
+def _pack_query_words(raw_blob, q_off, n):
+    """Sentinel-injected packed query words on the current default
+    device."""
+    import jax.numpy as jnp
+
+    from .esa import subject_index
+
+    parts = []
+    for g in range(n):
+        parts.append(raw_blob[q_off[g] : q_off[g + 1]])
+        parts.append(np.zeros(1, np.uint8))
+    blob2 = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    pad = (-len(blob2)) % 16 + 16
+    blob2 = np.concatenate([blob2, np.zeros(pad, np.uint8)])
+    t0 = time.time()
+    qw = subject_index.device_pack_words_u8(jnp.asarray(blob2))
+    _prof("sx: query words H2D", t0, qw)
+    return qw
+
+
+def _process_group(
+    group, widx, qw, seqs, subjects, ctx, M, progress, ckpt, cache_k,
+    threads, leftovers, publish_lock, n, gp, q_len_row, qw_base_pad,
+    q_off, q_off_pad, raw_blob, balance,
+):
+    import jax.numpy as jnp
+
+    from .chain.walk_sx import chain_walk_flat_sx
+    from .esa.backend_jax import bucket
+
+    t0 = time.time()
+    sg = -(-len(group) // 8) * 8
+    sa2, lcp2, sw, cache2, nreal_h, Lp = _build_group_index(
+        group, subjects, cache_k, threads
+    )
+    if sg > len(group):
+        pad_rows = sg - len(group)
+        z = lambda a: jnp.zeros((pad_rows,) + a.shape[1:], a.dtype)
+        sa2 = jnp.concatenate([sa2, z(sa2)])
+        lcp2 = jnp.concatenate([lcp2, z(lcp2)])
+        sw = jnp.concatenate([sw, z(sw)])
+        cache2 = jnp.concatenate([cache2, z(cache2)])
+    nreal = np.ones(sg, dtype=np.int32)
+    nreal[: len(group)] = nreal_h[: len(group)]
+    t0 = _prof(f"sx: index build ({len(group)} subj)", t0, sa2[0])
+
+    rs_lens = np.ones(sg, dtype=np.int32)
+    thresholds = np.full(sg, 2**29, dtype=np.int32)
+    q_len2d = np.zeros((sg, gp), dtype=np.int32)
+    for k, i in enumerate(group):
+        rs_lens[k] = subjects[i].len
+        thresholds[k] = subjects[i].threshold
+        q_len2d[k] = q_len_row
+        q_len2d[k, i] = 0  # diagonal pair skipped
+    nreal_d = jnp.asarray(nreal)
+
+    # event buffers are 16 B/slot of HBM and walks are CHUNKED (a chunk's
+    # events are bounded by lanes x chunk iterations), so the cap needs to
+    # cover one chunk, not the whole run: bound it at 32M slots (512 MB)
+    ecap = int(
+        os.environ.get(
+            "ANDIX_EVENT_CAP",
+            str(
+                min(
+                    max(1 << 16, bucket(int(q_off[-1]) + 1) // 2),
+                    1 << 25,
+                )
+            ),
+        )
+    )
+    seg_k = _chain_segments(
+        int(q_len_row.max()) if n else 0, len(group) * max(n - 1, 1)
+    )
+
+    def make_walk(ecap_now):
+        def walk(arr, chunk_iters, maxev):
+            out = chain_walk_flat_sx(
+                sa2, lcp2, sw, cache2, nreal_d, qw,
+                jnp.asarray(arr["row"]), jnp.asarray(arr["qs"]),
+                jnp.asarray(arr["rl"]), jnp.asarray(arr["thr"]),
+                jnp.asarray(arr["seg_end"]),
+                jnp.asarray(arr["pos0"]), jnp.asarray(arr["lq0"]),
+                jnp.asarray(arr["ls0"]), jnp.asarray(arr["ll0"]),
+                jnp.int32(chunk_iters), jnp.int32(maxev),
+                cache_k, ecap_now,
             )
-            if res is not None:
-                break
-            ecap_now *= 4
-        if res is None:
+            return _fetch_walk(out, ecap_now)
+        return walk
+
+    t_ref = [time.time()]
+
+    def prof(msg, _t=t_ref):
+        _t[0] = _prof("sx: " + msg, _t[0])
+
+    if not os.environ.get("ANDIX_PROF_FILE"):
+        prof = None
+    res = None
+    ecap_now = ecap
+    for _ in range(3):
+        res = segmented.segmented_group_anchors(
+            make_walk(ecap_now), sg, gp, 0,
+            np.zeros(sg, np.int32), rs_lens, thresholds,
+            qw_base_pad, qw_base_pad, q_len2d, seg_k, ecap_now, prof,
+        )
+        if res is not None:
+            break
+        ecap_now *= 4
+    if res is None:
+        with publish_lock:
             leftovers.extend(group)
-            continue
-        lanes, ev_q, ev_s, ev_len = res
+        return
+    lanes, ev_q, ev_s, ev_len = res
+    balance.append(
+        f"dev{widx} group[{group[0]}..{group[-1]}]: "
+        f"{ev_q.shape[0]} events"
+    )
 
-        t0 = time.time()
-        subjects_rs = [subjects[i].rs for i in group] + [None] * (
-            sg - len(group)
-        )
-        counts_h = chain_events.group_counts_from_events(
-            lanes, ev_q, ev_s, ev_len, sg, gp,
-            subjects_rs, thresholds, raw_blob, q_off_pad,
-            ctx.model, threads,
-        )
-        _prof(f"sx: host count from {ev_q.shape[0]} events", t0)
+    t0 = time.time()
+    subjects_rs = [subjects[i].rs for i in group] + [None] * (
+        sg - len(group)
+    )
+    counts_h = chain_events.group_counts_from_events(
+        lanes, ev_q, ev_s, ev_len, sg, gp,
+        subjects_rs, thresholds, raw_blob, q_off_pad,
+        ctx.model, threads,
+    )
+    _prof(f"sx: host count from {ev_q.shape[0]} events", t0)
 
+    with publish_lock:
         for k, i in enumerate(group):
             row = {}
             for g in range(n):
@@ -345,8 +443,7 @@ def process_subject_index(
                 progress.advance(len(row))
             if ckpt is not None:
                 ckpt.save_row(i, n, row)
-        del sa2, lcp2, sw, cache2
-    return leftovers
+    del sa2, lcp2, sw, cache2
 
 
 def _fetch_walk(out, ecap):

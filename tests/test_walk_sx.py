@@ -131,3 +131,25 @@ class TestSubjectIndexEquivalence:
         monkeypatch.setenv("ANDIX_EVENT_CAP", "8")
         got = self._run(monkeypatch, seqs, jax_backend, segs=4)
         assert _grids_equal(got, ref, len(seqs))
+
+
+class TestSubjectIndexMesh:
+    def test_device_parallel_groups_exact(self, monkeypatch, jax_backend):
+        """Multi-device sx: groups run on separate devices via
+        thread-per-device drivers (low-memory forces one group per
+        subject so several devices actually engage on the 8-virtual-CPU
+        mesh); the matrix must equal the serial oracle exactly."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device (virtual) mesh")
+        seqs = _family(5, 3000, [0.01, 0.06, 0.25], seed=71)
+        ref = pipeline.calculate_matrix(seqs, Context())
+        from andix.chain import segmented
+
+        monkeypatch.setenv("ANDIX_INDEX", "subject")
+        monkeypatch.setenv("ANDIX_CHAIN_SEGMENTS", "4")
+        ctx = Context()
+        ctx.low_memory = True  # one group per subject -> >1 device used
+        got = pipeline.calculate_matrix(seqs, ctx, backend=jax_backend)
+        assert _grids_equal(got, ref, len(seqs))
