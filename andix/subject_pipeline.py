@@ -36,6 +36,10 @@ from .chain import segmented
 from .model import CountMatrix
 from .runtime import Context
 
+# per-device (group, events) lines of the last multi-device run — the one
+# scaling signal a virtual mesh can give (read by dryrun_multichip)
+LAST_BALANCE: list[str] = []
+
 # resident bytes per padded index symbol: SA 4 + LCP 4 + words 0.5 + slack
 IDX_BYTES_PER_SYM = float(os.environ.get("ANDIX_IDX_BYTES", "10"))
 CACHE_BUDGET = int(
@@ -238,6 +242,7 @@ def process_subject_index(
     )
 
     balance: list[str] = []
+    LAST_BALANCE.clear()
 
     def run_device(widx: int) -> None:
         """One worker per device: its groups' whole build+walk+count
@@ -272,6 +277,7 @@ def process_subject_index(
             t.start()
         for t in ts:
             t.join()
+        LAST_BALANCE.extend(balance)
         if balance and os.environ.get("ANDIX_PROF_FILE"):
             _prof("sx mesh balance: " + "; ".join(balance), time.time())
     else:
