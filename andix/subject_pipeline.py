@@ -40,6 +40,15 @@ from .runtime import Context
 # scaling signal a virtual mesh can give (read by dryrun_multichip)
 LAST_BALANCE: list[str] = []
 
+# serialize jitted-call ENTRY across the device-driver threads: dispatch
+# is asynchronous (execution still overlaps across devices), but
+# concurrent first-call tracing/compilation from several threads has
+# segfaulted XLA:CPU in the full suite — one compile at a time is cheap
+# insurance and costs only enqueue latency
+import threading as _threading
+
+_DISPATCH_LOCK = _threading.RLock()
+
 # resident bytes per padded index symbol: SA 4 + LCP 4 + words 0.5 + slack
 IDX_BYTES_PER_SYM = float(os.environ.get("ANDIX_IDX_BYTES", "10"))
 CACHE_BUDGET = int(
@@ -133,15 +142,16 @@ def _build_group_index(group, subjects, cache_k, threads):
             else "levels"
         )
         base_width = doubling.wide_base_width(1, alphabet_ok)
-        sym_d = device_text(layout, Lp)
-        sa_d, lcp_d, ovf_d, words, cache = subject_index.fused_build(
-            sym_d, jnp.int32(layout.n), cache_k, lcp_mode, base_width,
-            budget,
-        )
-        sa2, lcp2, sw, cache2 = subject_index.acc_idx(
-            sa2, lcp2, sw, cache2, sa_d, lcp_d, words, cache,
-            jnp.int32(k),
-        )
+        with _DISPATCH_LOCK:
+            sym_d = device_text(layout, Lp)
+            sa_d, lcp_d, ovf_d, words, cache = subject_index.fused_build(
+                sym_d, jnp.int32(layout.n), cache_k, lcp_mode, base_width,
+                budget,
+            )
+            sa2, lcp2, sw, cache2 = subject_index.acc_idx(
+                sa2, lcp2, sw, cache2, sa_d, lcp_d, words, cache,
+                jnp.int32(k),
+            )
         ovf_flags.append(ovf_d)
         metas.append((k, i, layout))
         del sym_d, sa_d, lcp_d, words, cache
@@ -322,7 +332,8 @@ def _pack_query_words(raw_blob, q_off, n):
     pad = (-len(blob2)) % 16 + 16
     blob2 = np.concatenate([blob2, np.zeros(pad, np.uint8)])
     t0 = time.time()
-    qw = subject_index.device_pack_words_u8(jnp.asarray(blob2))
+    with _DISPATCH_LOCK:
+        qw = subject_index.device_pack_words_u8(jnp.asarray(blob2))
     _prof("sx: query words H2D", t0, qw)
     return qw
 
@@ -383,16 +394,17 @@ def _process_group(
 
     def make_walk(ecap_now):
         def walk(arr, chunk_iters, maxev):
-            out = chain_walk_flat_sx(
-                sa2, lcp2, sw, cache2, nreal_d, qw,
-                jnp.asarray(arr["row"]), jnp.asarray(arr["qs"]),
-                jnp.asarray(arr["rl"]), jnp.asarray(arr["thr"]),
-                jnp.asarray(arr["seg_end"]),
-                jnp.asarray(arr["pos0"]), jnp.asarray(arr["lq0"]),
-                jnp.asarray(arr["ls0"]), jnp.asarray(arr["ll0"]),
-                jnp.int32(chunk_iters), jnp.int32(maxev),
-                cache_k, ecap_now,
-            )
+            with _DISPATCH_LOCK:
+                out = chain_walk_flat_sx(
+                    sa2, lcp2, sw, cache2, nreal_d, qw,
+                    jnp.asarray(arr["row"]), jnp.asarray(arr["qs"]),
+                    jnp.asarray(arr["rl"]), jnp.asarray(arr["thr"]),
+                    jnp.asarray(arr["seg_end"]),
+                    jnp.asarray(arr["pos0"]), jnp.asarray(arr["lq0"]),
+                    jnp.asarray(arr["ls0"]), jnp.asarray(arr["ll0"]),
+                    jnp.int32(chunk_iters), jnp.int32(maxev),
+                    cache_k, ecap_now,
+                )
             return _fetch_walk(out, ecap_now)
         return walk
 
@@ -468,15 +480,17 @@ def _fetch_walk(out, ecap):
     (ev_lane_len, ev_qs, ev_cnt, ovf, iters,
      pos, lq, ls, ll, fin) = out
     lb = pos.shape[0]
-    meta = (
-        jnp.zeros(lb, jnp.int32)
-        .at[0].set(ev_cnt)
-        .at[1].set(ovf.astype(jnp.int32))
-        .at[2].set(iters)
-    )
-    state_h = np.asarray(jax.device_get(jnp.stack(
-        [pos, lq, ls, ll, fin.astype(jnp.int32), meta]
-    )))
+    with _DISPATCH_LOCK:
+        meta = (
+            jnp.zeros(lb, jnp.int32)
+            .at[0].set(ev_cnt)
+            .at[1].set(ovf.astype(jnp.int32))
+            .at[2].set(iters)
+        )
+        meta_stack = jnp.stack(
+            [pos, lq, ls, ll, fin.astype(jnp.int32), meta]
+        )
+    state_h = np.asarray(jax.device_get(meta_stack))
     cnt = int(state_h[5, 0])
     ovf_h = bool(state_h[5, 1])
     iters_h = int(state_h[5, 2])
@@ -485,7 +499,8 @@ def _fetch_walk(out, ecap):
                 state_h[4].astype(bool), iters_h, True)
     k = min(bucket(max(cnt, 1), minimum=4096), ecap)
     if os.environ.get("ANDIX_EVPACK", "1") != "0":
-        enc = evpack.encode_events(ev_lane_len, ev_qs, ev_cnt, k, lb)
+        with _DISPATCH_LOCK:
+            enc = evpack.encode_events(ev_lane_len, ev_qs, ev_cnt, k, lb)
         packed, esc, counts, n_esc_d, esc_ovf_d = enc
         packed, esc, counts, n_esc, esc_ovf = jax.device_get(
             (packed, esc, counts, n_esc_d, esc_ovf_d)
@@ -497,7 +512,8 @@ def _fetch_walk(out, ecap):
             ev = np.stack([lanes, q, s, ln])
             return (ev, state_h[:4], state_h[4].astype(bool),
                     iters_h, False)
-    ev4 = _unpack_events(ev_lane_len, ev_qs, k)
+    with _DISPATCH_LOCK:
+        ev4 = _unpack_events(ev_lane_len, ev_qs, k)
     ev = np.asarray(jax.device_get(ev4))[:, :cnt]
     return (ev, state_h[:4], state_h[4].astype(bool), iters_h, False)
 
