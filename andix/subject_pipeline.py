@@ -219,6 +219,12 @@ def process_subject_index(
     import jax
 
     n = len(seqs)
+    total_q = sum(s.len + 1 for s in seqs)
+    if total_q + 16 >= 1 << 31:
+        # the packed query blob is int32-addressed; thousands-of-genomes
+        # runs beyond 2^31 symbols keep the joint schedule (which chunks
+        # queries) until the sx path grows query chunking
+        return list(todo)
     max_len = max(s.len * 2 + 2 for s in subjects)
     cache_k = int(
         os.environ.get(
