@@ -62,6 +62,11 @@ REPAIR_EVENTS = int(os.environ.get("ANDIX_REPAIR_EVENTS", "12"))
 # probes of diverged ones — the lock-step tail would drag their gathers
 # along); doubling bounds the dispatch count logarithmically.
 CHUNK_ITERS = int(os.environ.get("ANDIX_CHUNK_ITERS", "768"))
+# hard ceiling on a single chunk: the axon worker CRASHES on device
+# programs running longer than ~50-90 s (measured with a pure spin loop,
+# r5) — 8192 iterations is ~10-25 s at production lane counts, with
+# margin.  Long walks just take more dispatches.
+CHUNK_ITERS_MAX = int(os.environ.get("ANDIX_CHUNK_ITERS_MAX", "8192"))
 # after this many event-budget extensions without a merge, walk the rest
 # of the lane in one go (sequential fallback for anchor-free lanes)
 MAX_EXTENSIONS = 2
@@ -176,7 +181,7 @@ class SegmentedWalk:
             ev3, state, fin, iters, ovf = self.walk(
                 arr, chunk_iters, maxev
             )
-            chunk_iters *= 2
+            chunk_iters = min(chunk_iters * 2, CHUNK_ITERS_MAX)
             self.dispatches += 1
             self.iters += int(iters)
             if ovf:
