@@ -72,6 +72,19 @@ def main() -> int:
     d01 = mm.estimate_jc(mm.model_average(M[0][1], M[1][0]))
     assert 0.001 < d01 < 0.02, f"sanity failed: d(g0,g1)={d01}"
 
+    dump = os.environ.get("ANDIX_ECO29_DUMP")
+    if dump:
+        # full PHYLIP matrix dump for resume-equivalence checks: a
+        # killed-and-resumed run must produce byte-identical output
+        from io import StringIO
+
+        from andix import output
+
+        buf = StringIO()
+        output.print_distances(M, seqs, n, False, ctx, out=buf)
+        with open(dump, "w") as f:
+            f.write(buf.getvalue())
+
     pps = pairs / elapsed
     baseline = benchmod.BASELINE_PAIRS_PER_SEC_64CORE * (1_000_000 / length)
     out = {
