@@ -62,11 +62,14 @@ REPAIR_EVENTS = int(os.environ.get("ANDIX_REPAIR_EVENTS", "12"))
 # probes of diverged ones — the lock-step tail would drag their gathers
 # along); doubling bounds the dispatch count logarithmically.
 CHUNK_ITERS = int(os.environ.get("ANDIX_CHUNK_ITERS", "768"))
-# hard ceiling on a single chunk: the axon worker CRASHES on device
-# programs running longer than ~50-90 s (measured with a pure spin loop,
-# r5) — 8192 iterations is ~10-25 s at production lane counts, with
-# margin.  Long walks just take more dispatches.
-CHUNK_ITERS_MAX = int(os.environ.get("ANDIX_CHUNK_ITERS_MAX", "8192"))
+# hard ceiling on a single chunk: the axon worker CRASHES on
+# long-running device programs — deterministically beyond ~90 s and
+# PROBABILISTICALLY below that (a ~25 s-dispatch eco29 run completed
+# once and crashed once; the hazard looks per-second, like a tunnel
+# keepalive).  4096 iterations is ~7-15 s at production lane counts;
+# long walks just take more dispatches, and hour-scale runs pair this
+# with checkpoint+rerun (scripts/eco29_run.sh).
+CHUNK_ITERS_MAX = int(os.environ.get("ANDIX_CHUNK_ITERS_MAX", "4096"))
 # after this many event-budget extensions without a merge, walk the rest
 # of the lane in one go (sequential fallback for anchor-free lanes)
 MAX_EXTENSIONS = 2

@@ -172,7 +172,7 @@ def _build_group_index(group, subjects, cache_k, threads):
     return sa2, lcp2, sw, cache2, nreal, Lp
 
 
-LANE_TARGET = int(os.environ.get("ANDIX_LANE_TARGET", "6144"))
+LANE_TARGET = int(os.environ.get("ANDIX_LANE_TARGET", "8192"))
 
 
 def _chain_segments(max_qlen: int, lanes_base: int) -> int:
@@ -189,7 +189,7 @@ def _chain_segments(max_qlen: int, lanes_base: int) -> int:
     k = 1
     while (
         k < 64
-        and lanes_base * k * 2 <= LANE_TARGET
+        and lanes_base * (k * 2) <= LANE_TARGET
         and max_qlen // (k * 2) >= 4096
     ):
         k *= 2
