@@ -73,8 +73,7 @@ def _nibble(w, i):
 
 @functools.partial(jax.jit, static_argnames=("cache_k", "ecap", "unroll"))
 def chain_walk_flat_sx(
-    sa2,  # int32[S, Lp] per-subject suffix arrays
-    lcp2,  # int32[S, Lp] per-subject adjacent LCP
+    salcp,  # int32[S, 2, Lp]: [:,0]=suffix array, [:,1]=adjacent LCP
     sw,  # int64[S, Lp//16] subject packed words
     cache2,  # int32[S, 4^cache_k + 1] k-mer insertion points
     nreal,  # int32[S] real text length per subject (RS + separator)
@@ -103,11 +102,13 @@ def chain_walk_flat_sx(
     pos, lq, ls, ll, fin)."""
     lb = row.shape[0]
     lanes_sq = sw.shape[1]
-    sa_last = sa2.shape[1] - 1
+    sa_last = salcp.shape[2] - 1
     qw_last = qw.shape[0] - 1
     lane_iota = jnp.arange(lb, dtype=jnp.int32)
     nr = nreal[row]
     two = jnp.arange(2, dtype=jnp.int32)[None, :]
+    _z2 = jnp.zeros((1, 2), jnp.int32)
+    _o2 = jnp.ones((1, 2), jnp.int32)
 
     def qwin(p):
         j = p >> 4
@@ -115,18 +116,45 @@ def chain_walk_flat_sx(
         w = qw[jnp.minimum(j[:, None] + two, qw_last)]
         return _combine_window(w[:, 0], w[:, 1], r)
 
-    def swin(p):
-        j = p >> 4
-        r = p & 15
-        w = sw[row[:, None], jnp.minimum(j[:, None] + two, lanes_sq - 1)]
-        return _combine_window(w[:, 0], w[:, 1], r)
+    def swin2(pA, pB):
+        """Both subject windows in ONE gather op ([lanes, 4] words):
+        the per-gather cost is a ~0.4-0.9 ms FIXED launch at production
+        widths (MICROBENCH_SX.json lane sweep), so op COUNT, not element
+        count, prices an iteration."""
+        jA = pA >> 4
+        rA = pA & 15
+        jB = pB >> 4
+        rB = pB & 15
+        cols = jnp.stack(
+            [jA, jA + 1, jB, jB + 1], 1
+        )
+        w = sw[row[:, None], jnp.minimum(cols, lanes_sq - 1)]
+        return (
+            _combine_window(w[:, 0], w[:, 1], rA),
+            _combine_window(w[:, 2], w[:, 3], rB),
+        )
 
     def sa_pair(colA, colB):
         idx = jnp.stack(
             [jnp.clip(colA, 0, sa_last), jnp.clip(colB, 0, sa_last)], 1
         )
-        g = sa2[row[:, None], idx]
+        g = salcp[row[:, None], _z2, idx]
         return g[:, 0], g[:, 1]
+
+    def sa_lcp_quad(colA, colB, lcpA_col, lcpB_col):
+        """SA pair + LCP pair in ONE gather into the stacked array."""
+        idx = jnp.stack(
+            [
+                jnp.clip(colA, 0, sa_last),
+                jnp.clip(colB, 0, sa_last),
+                jnp.clip(lcpA_col, 0, sa_last),
+                jnp.clip(lcpB_col, 0, sa_last),
+            ],
+            1,
+        )
+        comp = jnp.concatenate([_z2, _o2], 1)
+        g = salcp[row[:, None], comp, idx]
+        return g[:, 0], g[:, 1], g[:, 2], g[:, 3]
 
     def lucky_cond(pos, lq, ls, ll, fin):
         """Reference lucky-anchor precondition (src/process.c:82-100,156):
@@ -158,8 +186,12 @@ def chain_walk_flat_sx(
             valid = valid & (nib >= 4) & (nib <= 7)
             code = (code << 2) | jnp.clip(nib - 4, 0, 3)
         safe_code = jnp.where(valid, code, 0)
-        clo = cache2[row, safe_code]
-        chi = cache2[row, safe_code + 1]
+        cpair = cache2[
+            row[:, None],
+            jnp.stack([safe_code, safe_code + 1], 1),
+        ]
+        clo = cpair[:, 0]
+        chi = cpair[:, 1]
         lo = jnp.where(is_first, jnp.where(valid, clo, 0), lo)
         hi = jnp.where(is_first, jnp.where(valid, chi, nr), hi)
         llo = jnp.where(is_first, 0, llo)
@@ -188,8 +220,10 @@ def chain_walk_flat_sx(
         in_ab = act & (ph == P_AB)
         a_active = in_lucky | in_bis | (in_ab & (aa < 0) & (ipv > 0))
         b_active = in_ab & (bb < 0) & (ipv < nr)
-        wsA = swin(jnp.where(a_active, spA, 0) + h)
-        wsB = swin(jnp.where(b_active, spB, 0) + h)
+        wsA, wsB = swin2(
+            jnp.where(a_active, spA, 0) + h,
+            jnp.where(b_active, spB, 0) + h,
+        )
         mA = _word_lcp(wq, wsA)
         mB = _word_lcp(wq, wsB)
         miA = jnp.minimum(mA, 15)
@@ -237,9 +271,12 @@ def chain_walk_flat_sx(
         post_to_ab = seek & (lo >= hi)
         ipv = jnp.where(post_to_ab, lo, ipv)
         mid2 = (lo + hi) >> 1
-        tgA2, tgB2 = sa_pair(
+        ip1s_pre = jnp.where(ipv + 1 < nr, ipv + 1, 0)
+        tgA2, tgB2, lcpPA, lcpPB = sa_lcp_quad(
             jnp.where(post_to_bis, mid2, ipv - 1),
             jnp.where(post_to_bis, mid2, ipv),
+            jnp.maximum(ipv - 1, 0),
+            ip1s_pre,
         )
         spA = jnp.where(post_to_bis | post_to_ab, tgA2, spA)
         spB = jnp.where(post_to_ab, tgB2, spB)
@@ -251,14 +288,11 @@ def chain_walk_flat_sx(
         finishing = ab_done | l_acc
         ml = jnp.maximum(jnp.maximum(aa, bb), 0)
         use_a = aa >= bb
-        ip1s = jnp.where(ipv + 1 < nr, ipv + 1, 0)
-        lidx = jnp.stack([jnp.maximum(ipv - 1, 0), ip1s], 1)
-        lcpP = lcp2[row[:, None], lidx]
         unique = (
             (ml > 0)
             & (aa != bb)
             & jnp.where(
-                use_a, lcpP[:, 0] < aa, (ipv + 1 >= nr) | (lcpP[:, 1] < bb)
+                use_a, lcpPA < aa, (ipv + 1 >= nr) | (lcpPB < bb)
             )
         )
         psv = jnp.where(use_a, spA, spB)

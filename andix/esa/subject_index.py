@@ -372,20 +372,25 @@ def fused_build(sym, n_real, cache_k: int, lcp_mode: str,
 @functools.lru_cache(maxsize=None)
 def _acc_idx_fn():
     import jax
+    import jax.numpy as jnp
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def acc(sa2, lcp2, sw, cache2, sa, lcp, w, c, k):
-        def upd(buf, r):
-            return jax.lax.dynamic_update_index_in_dim(buf, r, k, 0)
-
-        return upd(sa2, sa), upd(lcp2, lcp), upd(sw, w), upd(cache2, c)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def acc(salcp, sw, cache2, sa, lcp, w, c, k):
+        z = jnp.zeros((), k.dtype)
+        salcp = jax.lax.dynamic_update_slice(
+            salcp, jnp.stack([sa, lcp])[None], (k, z, z)
+        )
+        sw = jax.lax.dynamic_update_index_in_dim(sw, w, k, 0)
+        cache2 = jax.lax.dynamic_update_index_in_dim(cache2, c, k, 0)
+        return salcp, sw, cache2
 
     return acc
 
 
-def acc_idx(sa2, lcp2, sw, cache2, sa, lcp, w, c, k):
-    """One donated-buffer dispatch writing all four index rows."""
-    return _acc_idx_fn()(sa2, lcp2, sw, cache2, sa, lcp, w, c, k)
+def acc_idx(salcp, sw, cache2, sa, lcp, w, c, k):
+    """One donated-buffer dispatch writing the stacked SA+LCP row pair,
+    word row, and cache row."""
+    return _acc_idx_fn()(salcp, sw, cache2, sa, lcp, w, c, k)
 
 
 def pick_cache_k(max_len: int, n_subjects: int, budget_bytes: int) -> int:

@@ -112,8 +112,7 @@ def _build_group_index(group, subjects, cache_k, threads):
 
     sg = len(group)
     Lp = max(bucket(subjects[i].len * 2 + 2) for i in group)
-    sa2 = jnp.zeros((sg, Lp), jnp.int32)
-    lcp2 = jnp.zeros((sg, Lp), jnp.int32)
+    salcp = jnp.zeros((sg, 2, Lp), jnp.int32)
     sw = jnp.zeros((sg, Lp // 16), jnp.int64)
     nk = (1 << (2 * cache_k)) + 1
     cache2 = jnp.zeros((sg, nk), jnp.int32)
@@ -148,8 +147,8 @@ def _build_group_index(group, subjects, cache_k, threads):
                 sym_d, jnp.int32(layout.n), cache_k, lcp_mode, base_width,
                 budget,
             )
-            sa2, lcp2, sw, cache2 = subject_index.acc_idx(
-                sa2, lcp2, sw, cache2, sa_d, lcp_d, words, cache,
+            salcp, sw, cache2 = subject_index.acc_idx(
+                salcp, sw, cache2, sa_d, lcp_d, words, cache,
                 jnp.int32(k),
             )
         ovf_flags.append(ovf_d)
@@ -162,25 +161,26 @@ def _build_group_index(group, subjects, cache_k, threads):
             continue
         # pathologically repetitive input: SA exact, LCP invalid — host
         # Φ fallback (same contract as the joint backend)
-        sa_h = np.asarray(jax.device_get(sa2[k]))
+        sa_h = np.asarray(jax.device_get(salcp[k, 0]))
         padded = pad_symbols(layout.sym, Lp)
         if native.available():
             lcp_h = native.lcp_from_sa(padded, sa_h, threads)
         else:  # pragma: no cover - toolchain-less fallback
             lcp_h = sa_numpy.lcp_array(padded, sa_h)
-        lcp2 = _acc_row(lcp2, jnp.asarray(lcp_h.astype(np.int32)), k)
-    return sa2, lcp2, sw, cache2, nreal, Lp
+        salcp = salcp.at[k, 1].set(jnp.asarray(lcp_h.astype(np.int32)))
+    return salcp, sw, cache2, nreal, Lp
 
 
-LANE_TARGET = int(os.environ.get("ANDIX_LANE_TARGET", "8192"))
+LANE_TARGET = int(os.environ.get("ANDIX_LANE_TARGET", "32768"))
 
 
 def _chain_segments(max_qlen: int, lanes_base: int) -> int:
-    """Segments per lane: unlike the table walk (gather-throughput-bound
-    at >=512 lanes, PERF.md r4), the search walk is LATENCY-bound — its
-    probe is a chain of small nested loops — so K scales until the lane
-    count amortizes the per-step latency (~LANE_TARGET lanes), bounded by
-    a minimum segment length (reconciliation overhead) and K <= 64."""
+    """Segments per lane: the walk iteration's price is a ~0.4-0.9 ms
+    FIXED gather-launch term that is nearly lane-count-independent (a
+    32k-lane dependent gather costs only ~2x a 512-lane one,
+    MICROBENCH_SX.json lane sweep), so K scales the lane count toward
+    ~LANE_TARGET, bounded by a minimum segment length (reconciliation
+    overhead) and K <= 128."""
     env = os.environ.get("ANDIX_CHAIN_SEGMENTS", "auto")
     if env != "auto":
         return max(1, min(int(env), max(max_qlen, 1)))
@@ -188,7 +188,7 @@ def _chain_segments(max_qlen: int, lanes_base: int) -> int:
         return 1
     k = 1
     while (
-        k < 64
+        k < 128
         and lanes_base * (k * 2) <= LANE_TARGET
         and max_qlen // (k * 2) >= 4096
     ):
@@ -356,19 +356,18 @@ def _process_group(
 
     t0 = time.time()
     sg = -(-len(group) // 8) * 8
-    sa2, lcp2, sw, cache2, nreal_h, Lp = _build_group_index(
+    salcp, sw, cache2, nreal_h, Lp = _build_group_index(
         group, subjects, cache_k, threads
     )
     if sg > len(group):
         pad_rows = sg - len(group)
         z = lambda a: jnp.zeros((pad_rows,) + a.shape[1:], a.dtype)
-        sa2 = jnp.concatenate([sa2, z(sa2)])
-        lcp2 = jnp.concatenate([lcp2, z(lcp2)])
+        salcp = jnp.concatenate([salcp, z(salcp)])
         sw = jnp.concatenate([sw, z(sw)])
         cache2 = jnp.concatenate([cache2, z(cache2)])
     nreal = np.ones(sg, dtype=np.int32)
     nreal[: len(group)] = nreal_h[: len(group)]
-    t0 = _prof(f"sx: index build ({len(group)} subj)", t0, sa2[0])
+    t0 = _prof(f"sx: index build ({len(group)} subj)", t0, salcp[0, 0])
 
     rs_lens = np.ones(sg, dtype=np.int32)
     thresholds = np.full(sg, 2**29, dtype=np.int32)
@@ -402,7 +401,7 @@ def _process_group(
         def walk(arr, chunk_iters, maxev):
             with _DISPATCH_LOCK:
                 out = chain_walk_flat_sx(
-                    sa2, lcp2, sw, cache2, nreal_d, qw,
+                    salcp, sw, cache2, nreal_d, qw,
                     jnp.asarray(arr["row"]), jnp.asarray(arr["qs"]),
                     jnp.asarray(arr["rl"]), jnp.asarray(arr["thr"]),
                     jnp.asarray(arr["seg_end"]),
@@ -467,7 +466,7 @@ def _process_group(
                 progress.advance(len(row))
             if ckpt is not None:
                 ckpt.save_row(i, n, row)
-    del sa2, lcp2, sw, cache2
+    del salcp, sw, cache2
 
 
 def _fetch_walk(out, ecap):

@@ -37,8 +37,7 @@ def main():
     cache_k = 12
 
     sg = 4
-    sa2 = jnp.zeros((sg, Lp), jnp.int32)
-    lcp2 = jnp.zeros((sg, Lp), jnp.int32)
+    salcp = jnp.zeros((sg, 2, Lp), jnp.int32)
     sw = jnp.zeros((sg, Lp // 16), jnp.int64)
     cache2 = jnp.zeros((sg, (1 << (2 * cache_k)) + 1), jnp.int32)
     t0 = time.time()
@@ -49,10 +48,10 @@ def main():
             sym_d, jnp.int32(lay.n), cache_k, "hybrid",
             doubling.wide_base_width(1, True), level_budget(Lp),
         )
-        sa2, lcp2, sw, cache2 = subject_index.acc_idx(
-            sa2, lcp2, sw, cache2, sa_d, lcp_d, w, c, jnp.int32(k)
+        salcp, sw, cache2 = subject_index.acc_idx(
+            salcp, sw, cache2, sa_d, lcp_d, w, c, jnp.int32(k)
         )
-    sync(sa2[0])
+    sync(salcp[0, 0])
     print(f"index build {sg}x{Lp}: {time.time()-t0:.2f}s", flush=True)
 
     # query words
@@ -77,8 +76,8 @@ def main():
         (512, 8, 512, 8),
         (2048, 32, 512, 8),
         (8192, 128, 512, 8),
-        (2048, 32, 512, 1),
-        (2048, 32, 512, 32),
+        (16384, 128, 512, 8),
+        (32768, 128, 512, 8),
         (2048, 32, 0, 8),
     ]:
         # lanes = pairs x K segments; pairs = n*(n-1) = 12 -> pad rows
@@ -104,19 +103,19 @@ def main():
         ecap = 1 << 20
         t0 = time.time()
         out = chain_walk_flat_sx(
-            sa2, lcp2, sw, cache2, nreal, qw, *args,
+            salcp, sw, cache2, nreal, qw, *args,
             jnp.int32(max(iters, 0)), jnp.int32(1 << 30),
             cache_k, ecap, unroll,
         )
-        sync(out[6][None])
+        sync(out[4][None])
         cold = time.time() - t0
         t0 = time.time()
         out = chain_walk_flat_sx(
-            sa2, lcp2, sw, cache2, nreal, qw, *args,
+            salcp, sw, cache2, nreal, qw, *args,
             jnp.int32(max(iters, 0)), jnp.int32(1 << 30),
             cache_k, ecap, unroll,
         )
-        it_done = sync(out[6][None])
+        it_done = sync(out[4][None])
         warm = time.time() - t0
         key = f"lanes{lanes}_it{iters}_u{unroll}"
         per_it = warm / max(it_done, 1) * 1e3
