@@ -70,6 +70,12 @@ CHUNK_ITERS = int(os.environ.get("ANDIX_CHUNK_ITERS", "768"))
 # long walks just take more dispatches, and hour-scale runs pair this
 # with checkpoint+rerun (scripts/eco29_run.sh).
 CHUNK_ITERS_MAX = int(os.environ.get("ANDIX_CHUNK_ITERS_MAX", "4096"))
+# the iteration budget is additionally a SECONDS budget converted through
+# the measured per-lane-iteration cost (~0.9 us/lane in production) —
+# iteration cost scales with lane count, so a fixed iteration cap alone
+# let 27k-lane chunks run ~50 s and crash the worker
+CHUNK_BUDGET_S = float(os.environ.get("ANDIX_CHUNK_BUDGET_S", "12"))
+NS_PER_LANE_ITER = 900.0
 # after this many event-budget extensions without a merge, walk the rest
 # of the lane in one go (sequential fallback for anchor-free lanes)
 MAX_EXTENSIONS = 2
@@ -157,6 +163,9 @@ class SegmentedWalk:
         chunk_iters = CHUNK_ITERS
         while active:
             lb = _lane_bucket(len(active))
+            sec_cap = max(
+                256, int(CHUNK_BUDGET_S * 1e9 / (lb * NS_PER_LANE_ITER))
+            )
             arr = {
                 name: np.zeros(lb, np.int32)
                 for name in ("row", "qoff", "qs", "ss", "rl", "thr",
@@ -182,9 +191,9 @@ class SegmentedWalk:
             # the chunk budget but still have their own budget left
             maxev = int(arr["maxev"][:len(active)].min())
             ev3, state, fin, iters, ovf = self.walk(
-                arr, chunk_iters, maxev
+                arr, min(chunk_iters, sec_cap), maxev
             )
-            chunk_iters = min(chunk_iters * 2, CHUNK_ITERS_MAX)
+            chunk_iters = min(chunk_iters * 2, CHUNK_ITERS_MAX, sec_cap)
             self.dispatches += 1
             self.iters += int(iters)
             if ovf:

@@ -171,7 +171,7 @@ def _build_group_index(group, subjects, cache_k, threads):
     return salcp, sw, cache2, nreal, Lp
 
 
-LANE_TARGET = int(os.environ.get("ANDIX_LANE_TARGET", "32768"))
+LANE_TARGET = int(os.environ.get("ANDIX_LANE_TARGET", "8192"))
 
 
 def _chain_segments(max_qlen: int, lanes_base: int) -> int:
