@@ -55,3 +55,15 @@ def dna():
 @pytest.fixture
 def mutator():
     return mutate
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules: the full suite
+    accumulates hundreds of XLA:CPU programs across 227 tests and the
+    compiler segfaulted (LLVM OOM) in the last module twice; per-module
+    cache clearing keeps peak host memory bounded."""
+    yield
+    import jax
+
+    jax.clear_caches()
