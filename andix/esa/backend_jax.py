@@ -636,9 +636,25 @@ class JaxBackend:
                 jnp.asarray(thresholds), jump_passes, want_jump,
             )
         qb_len = ctx.tq_d.shape[0]
+        if not want_jump:
+            # segmented-walk tables: ONE donated-buffer program per
+            # subject (build + both row writes fused) instead of three
+            # dispatches each (VERDICT r4 #3)
+            from ..chain.replay_device import single_subject_tables_acc
+
+            b0 = jnp.zeros((sg, qb_len), jnp.int32)
+            b1 = jnp.zeros((sg, qb_len), jnp.int32)
+            for k in range(sg):
+                if segs[k] < 0:
+                    continue
+                b0, b1 = single_subject_tables_acc(
+                    b0, b1, ctx.sa_d, ctx.lcp_d, ctx.segid_d, ctx.tq_d,
+                    jnp.int32(segs[k]), jnp.int32(starts[k]),
+                    jnp.int32(thresholds[k]), jnp.int32(k), jump_passes,
+                )
+            return b0, b1
         bufs = [
-            jnp.zeros((sg, qb_len), jnp.int32)
-            for _ in range(3 if want_jump else 2)
+            jnp.zeros((sg, qb_len), jnp.int32) for _ in range(3)
         ]
         for k in range(sg):
             if segs[k] < 0:

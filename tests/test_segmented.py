@@ -113,6 +113,18 @@ class TestSegmentedEquivalence:
         got = self._run(monkeypatch, seqs, jax_backend, k=4, repev=1)
         assert _grids_equal(got, ref, len(seqs))
 
+
+    def test_split_tables_under_segmented(self, monkeypatch, jax_backend):
+        """Big-block per-subject table builds (fused build+row-write
+        programs, ANDIX_SPLIT_TABLES_MIN=1) under the segmented walk must
+        match the oracle."""
+        seqs = _family(4, 3000, [0.02, 0.1, 0.3], seed=47)
+        ref = pipeline.calculate_matrix(seqs, Context())
+        monkeypatch.setenv("ANDIX_SPLIT_TABLES_MIN", "1")
+        monkeypatch.setenv("ANDIX_INDEX", "joint")
+        got = self._run(monkeypatch, seqs, jax_backend, k=4)
+        assert _grids_equal(got, ref, len(seqs))
+
     def test_joined_contigs(self, monkeypatch, jax_backend):
         """Multi-contig genomes ('!' joiner bytes in the sequence data,
         sequence.py join semantics) under the segmented walk."""
